@@ -1,0 +1,188 @@
+"""Command-line front-end (reference C1 read ingestion / C9 contig emission).
+
+Capability parity with the reference's CLI entry (SURVEY.md §1 "CLI / entry":
+read input reads, select k, run pipeline, print contigs), plus the simulator
+front-end the acceptance configs need (no genome data ships offline,
+SURVEY.md §6).
+
+  ga-tpu simulate --preset lambda --coverage 100 --out reads.txt
+  ga-tpu assemble --reads reads.txt -k 31 --min-count 3 > contigs.fa
+  ga-tpu assemble --preset toy10k --coverage 100 -k 25   # simulate + assemble
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .utils.config import AssemblyConfig
+from .utils.dna import decode_seq, encode_seq
+from .utils.simulate import GENOME_PRESETS, preset_genome, simulate_genome, simulate_reads
+
+
+def read_sequences(path: str) -> list[str]:
+    """Load reads: FASTA if the first record starts with '>', else one
+    sequence per line (multi-line joining only applies to FASTA records)."""
+    with open(path) as fh:
+        lines = [ln.strip() for ln in fh]
+    lines = [ln for ln in lines if ln]
+    if not lines:
+        return []
+    if not lines[0].startswith(">"):
+        return [ln.upper() for ln in lines]
+    seqs: list[str] = []
+    current: list[str] = []
+    for line in lines:
+        if line.startswith(">"):
+            if current:
+                seqs.append("".join(current))
+                current = []
+        else:
+            current.append(line.upper())
+    if current:
+        seqs.append("".join(current))
+    return seqs
+
+
+def write_fasta(contigs: list[str], fh, prefix: str = "contig") -> None:
+    for i, seq in enumerate(contigs):
+        fh.write(f">{prefix}_{i} len={len(seq)}\n")
+        for j in range(0, len(seq), 80):
+            fh.write(seq[j : j + 80] + "\n")
+
+
+def _add_sim_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", choices=sorted(GENOME_PRESETS), default=None,
+                   help="synthesized stand-in genome (BASELINE.md configs)")
+    p.add_argument("--genome-len", type=int, default=None,
+                   help="random genome length (alternative to --preset)")
+    p.add_argument("--genome-seed", type=int, default=101)
+    p.add_argument("--coverage", type=float, default=100.0)
+    p.add_argument("--read-len", type=int, default=100)
+    p.add_argument("--error-rate", type=float, default=0.0)
+    p.add_argument("--read-seed", type=int, default=1)
+    p.add_argument("--single-strand", action="store_true",
+                   help="forward-strand reads only")
+
+
+def _simulated_reads(args) -> tuple[np.ndarray, np.ndarray]:
+    if args.preset:
+        genome = preset_genome(args.preset)
+    elif args.genome_len:
+        genome = simulate_genome(args.genome_len, seed=args.genome_seed)
+    else:
+        raise SystemExit("need --preset or --genome-len (or --reads)")
+    rs = simulate_reads(
+        genome,
+        coverage=args.coverage,
+        read_len=args.read_len,
+        seed=args.read_seed,
+        error_rate=args.error_rate,
+        both_strands=not args.single_strand,
+    )
+    return rs.codes, genome
+
+
+def cmd_simulate(args) -> int:
+    codes, genome = _simulated_reads(args)
+    out = open(args.out, "w") if args.out else sys.stdout
+    for row in codes:
+        out.write(decode_seq(row) + "\n")
+    if args.out:
+        out.close()
+    if args.genome_out:
+        with open(args.genome_out, "w") as fh:
+            write_fasta([decode_seq(genome)], fh, prefix="genome")
+    print(
+        f"simulated {len(codes)} reads x {codes.shape[1]} bp"
+        f" (genome {len(genome)} bp)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_assemble(args) -> int:
+    from .models.oracle import assemble_oracle
+
+    t0 = time.perf_counter()
+    if args.reads:
+        seqs = read_sequences(args.reads)
+        if not seqs:
+            raise SystemExit(f"no reads found in {args.reads}")
+        lens = {len(s) for s in seqs}
+        if len(lens) == 1:
+            reads: list[str] | np.ndarray = np.stack(
+                [encode_seq(s) for s in seqs]
+            )
+        else:
+            reads = seqs  # ragged: dict counting path
+        n_reads = len(seqs)
+    else:
+        reads, _ = _simulated_reads(args)
+        n_reads = reads.shape[0]
+
+    cfg = AssemblyConfig(
+        k=args.k,
+        min_count=args.min_count,
+        tip_len=args.tip_len,
+        bubble_len=args.bubble_len,
+        read_len=(
+            reads.shape[1] if isinstance(reads, np.ndarray) else args.read_len
+        ),
+    )
+    if args.backend == "oracle":
+        contigs = assemble_oracle(reads, cfg)
+    else:  # tpu
+        from .models.pipeline import assemble_tpu
+
+        if not isinstance(reads, np.ndarray):
+            raise SystemExit("--backend tpu requires uniform-length reads")
+        contigs = assemble_tpu(reads, cfg)
+    dt = time.perf_counter() - t0
+
+    out = open(args.out, "w") if args.out else sys.stdout
+    write_fasta(contigs, out)
+    if args.out:
+        out.close()
+    total = sum(len(c) for c in contigs)
+    print(
+        f"assembled {n_reads} reads -> {len(contigs)} contig(s),"
+        f" {total} bp total in {dt:.2f}s [{args.backend}]",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ga-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("simulate", help="simulate reads from a genome")
+    _add_sim_args(ps)
+    ps.add_argument("--out", default=None, help="reads output (default stdout)")
+    ps.add_argument("--genome-out", default=None, help="write genome FASTA")
+    ps.set_defaults(fn=cmd_simulate)
+
+    pa = sub.add_parser("assemble", help="assemble reads into contigs")
+    pa.add_argument("--reads", default=None, help="reads file (lines or FASTA)")
+    _add_sim_args(pa)
+    pa.add_argument("-k", type=int, default=31)
+    pa.add_argument("--min-count", type=int, default=1)
+    pa.add_argument("--tip-len", type=int, default=None)
+    pa.add_argument("--bubble-len", type=int, default=None)
+    pa.add_argument("--backend", choices=["oracle", "tpu"], default="oracle")
+    pa.add_argument("--out", default=None, help="contigs FASTA (default stdout)")
+    pa.set_defaults(fn=cmd_assemble)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""Core DNA data model: 2-bit base encoding and multi-word k-mer keys.
+
+Capability parity: the reference assembler's k-mer/reverse-complement string
+utilities (SURVEY.md §2.1 C2-C3; reference mount empty this round — see
+SURVEY.md §0, so citations are to the survey's reconstruction, not file:line).
+
+Design (TPU-first, SURVEY.md §7 M0):
+  * Bases are 2-bit codes A=0, C=1, G=2, T=3 so that complement(x) == 3 - x.
+  * A k-mer is a 2k-bit big-endian integer (first base in the highest bits),
+    stored as ``W = 2k//32 + 1`` uint32 words, word 0 = most significant.
+    Big-endian packing makes lexicographic word-tuple order identical to
+    lexicographic base-string order, so multi-operand ``lax.sort`` over the
+    word columns sorts k-mers correctly even for 2k > 64 (k=41 -> 82 bits,
+    SURVEY.md §7 "hard parts").
+  * ``W`` always leaves >= 2 spare high bits zero for valid k-mers, so the
+    all-ones word tuple is a safe +inf sentinel for padding/invalid lanes.
+
+This module is NumPy/str only (host side); the JAX/Pallas equivalents live in
+``genome_assembler_tpu.ops``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BASES = "ACGT"
+A, C, G, T = 0, 1, 2, 3
+
+_ENCODE_LUT = np.full(256, 255, dtype=np.uint8)
+for _i, _b in enumerate(BASES):
+    _ENCODE_LUT[ord(_b)] = _i
+    _ENCODE_LUT[ord(_b.lower())] = _i
+
+_DECODE_LUT = np.frombuffer(BASES.encode(), dtype=np.uint8)
+
+
+def encode_seq(seq: str) -> np.ndarray:
+    """ACGT string -> uint8 code array. Raises on non-ACGT characters."""
+    raw = np.frombuffer(seq.encode(), dtype=np.uint8)
+    codes = _ENCODE_LUT[raw]
+    if codes.max(initial=0) > 3:
+        bad = seq[int(np.argmax(codes > 3))]
+        raise ValueError(f"non-ACGT character {bad!r} in sequence")
+    return codes
+
+
+def decode_seq(codes: np.ndarray) -> str:
+    """uint8 code array -> ACGT string."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    return _DECODE_LUT[codes].tobytes().decode()
+
+
+def revcomp_str(seq: str) -> str:
+    """Reverse complement of an ACGT string."""
+    return decode_seq(3 - encode_seq(seq)[::-1])
+
+
+def revcomp_codes(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement of a 2-bit code array (complement == 3 - code)."""
+    return (3 - np.asarray(codes, dtype=np.uint8))[::-1]
+
+
+def canonical_str(kmer: str) -> str:
+    """Canonical form: lexicographic min of the k-mer and its revcomp."""
+    rc = revcomp_str(kmer)
+    return kmer if kmer <= rc else rc
+
+
+def key_words(k: int) -> int:
+    """Number of uint32 words per k-mer key.
+
+    ``2k // 32 + 1`` guarantees >= 2 spare zero bits in the top word for every
+    valid k-mer, reserving the all-ones tuple as the invalid/+inf sentinel.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return 2 * k // 32 + 1
+
+
+def kmer_to_words(codes: np.ndarray) -> tuple[int, ...]:
+    """Pack k 2-bit codes into the big-endian uint32 word tuple.
+
+    Host-side mirror of the packing the Pallas extraction kernel performs;
+    used as the oracle for kernel unit tests.
+    """
+    codes = np.asarray(codes, dtype=np.uint64)
+    k = len(codes)
+    w = key_words(k)
+    value = 0
+    for c in codes:
+        value = (value << 2) | int(c)
+    words = []
+    for i in range(w):
+        shift = 32 * (w - 1 - i)
+        words.append((value >> shift) & 0xFFFFFFFF)
+    return tuple(words)
+
+
+def words_to_kmer(words: tuple[int, ...], k: int) -> str:
+    """Inverse of :func:`kmer_to_words` (for debugging/tests)."""
+    value = 0
+    for word in words:
+        value = (value << 32) | int(word)
+    codes = [(value >> (2 * (k - 1 - j))) & 3 for j in range(k)]
+    return decode_seq(np.array(codes, dtype=np.uint8))

@@ -1,0 +1,137 @@
+"""Seeded genome + read simulator (SURVEY.md §6).
+
+No genome data ships in this environment, so the acceptance configs
+(BASELINE.md: lambda phage 48.5 kb, E. coli 4.6 Mb, yeast 12 Mb) run on
+synthesized genomes with matching sizes and statistics, generated from fixed
+seeds so every run and every device sees identical inputs. The simulator is a
+first-class component: every test, acceptance config, and benchmark draws its
+reads from here.
+
+Outputs are fixed-width ``[B, L]`` uint8 code batches (SURVEY.md §7 M0) so the
+whole downstream pipeline is static-shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .dna import decode_seq
+
+# Synthetic stand-ins for the acceptance-config genomes (BASELINE.md table 2).
+# Real sequences are unavailable offline; sizes match the configs.
+GENOME_PRESETS: dict[str, tuple[int, int]] = {
+    # name: (length_bases, seed)
+    "toy10k": (10_000, 101),
+    "lambda": (48_502, 102),
+    "ecoli": (4_641_652, 103),
+    "yeast": (12_000_000, 104),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ReadSet:
+    """A simulated read batch: fixed-width 2-bit codes plus provenance."""
+
+    codes: np.ndarray  # [B, L] uint8 in {0..3}
+    genome: np.ndarray  # [G] uint8 codes, the ground truth
+    seed: int
+    error_rate: float
+
+    @property
+    def num_reads(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def read_len(self) -> int:
+        return int(self.codes.shape[1])
+
+    def strings(self) -> list[str]:
+        return [decode_seq(row) for row in self.codes]
+
+
+def simulate_genome(length: int, seed: int, gc: float = 0.5) -> np.ndarray:
+    """Random genome as uint8 codes with the given GC fraction."""
+    rng = np.random.default_rng(seed)
+    # p over A,C,G,T; complementarity keeps strand-symmetric base composition.
+    p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+    return rng.choice(4, size=length, p=p).astype(np.uint8)
+
+
+def preset_genome(name: str) -> np.ndarray:
+    length, seed = GENOME_PRESETS[name]
+    return simulate_genome(length, seed)
+
+
+def simulate_reads(
+    genome: np.ndarray,
+    *,
+    coverage: float,
+    read_len: int,
+    seed: int,
+    error_rate: float = 0.0,
+    both_strands: bool = True,
+    tile_exactly: bool = True,
+) -> ReadSet:
+    """Simulate fixed-length substitution-error reads from ``genome``.
+
+    tile_exactly: in addition to uniform-random starts, include one read at
+    every position stride such that each genome base is covered even at modest
+    coverage; guarantees (for error-free input) that every k-mer of the genome
+    appears, which the exact-contig acceptance bar (BASELINE.md CFG 0)
+    requires. Random starts then fill out the coverage distribution.
+    """
+    genome = np.asarray(genome, dtype=np.uint8)
+    g = len(genome)
+    if read_len > g:
+        raise ValueError(f"read_len={read_len} > genome length {g}")
+    rng = np.random.default_rng(seed)
+
+    num_reads = int(np.ceil(coverage * g / read_len))
+    starts: list[np.ndarray] = []
+    if tile_exactly:
+        # Stride < read_len - 1 so consecutive tiled reads overlap by >= k-1
+        # bases for any k < read_len: no genome k-mer is missed.
+        stride = max(1, read_len // 2)
+        tiled = np.arange(0, g - read_len + 1, stride)
+        if tiled[-1] != g - read_len:
+            tiled = np.append(tiled, g - read_len)
+        starts.append(tiled)
+        num_reads = max(num_reads - len(tiled), 0)
+    if num_reads:
+        starts.append(rng.integers(0, g - read_len + 1, size=num_reads))
+    all_starts = np.concatenate(starts)
+
+    # Gather windows: [B, L]
+    idx = all_starts[:, None] + np.arange(read_len)[None, :]
+    reads = genome[idx]
+
+    if both_strands:
+        flip = rng.random(len(all_starts)) < 0.5
+        reads[flip] = (3 - reads[flip])[:, ::-1]
+
+    if error_rate > 0:
+        err_mask = rng.random(reads.shape) < error_rate
+        # substitute with a *different* base: add 1..3 mod 4
+        bump = rng.integers(1, 4, size=reads.shape).astype(np.uint8)
+        reads = np.where(err_mask, (reads + bump) % 4, reads).astype(np.uint8)
+
+    perm = rng.permutation(len(reads))
+    return ReadSet(
+        codes=reads[perm], genome=genome, seed=seed, error_rate=error_rate
+    )
+
+
+def pad_to_batch(codes: np.ndarray, batch_reads: int) -> tuple[np.ndarray, int]:
+    """Pad [B, L] reads up to a multiple of batch_reads with invalid rows.
+
+    Padding rows are all-A; callers mask them out via the returned true count.
+    Keeps every device batch the same static shape (SURVEY.md §7 hard parts).
+    """
+    b, length = codes.shape
+    padded_b = -(-b // batch_reads) * batch_reads
+    if padded_b == b:
+        return codes, b
+    pad = np.zeros((padded_b - b, length), dtype=codes.dtype)
+    return np.concatenate([codes, pad], axis=0), b

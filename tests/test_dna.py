@@ -1,0 +1,69 @@
+"""Unit tests for the 2-bit data model (utils.dna)."""
+
+import numpy as np
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from genome_assembler_tpu.utils import dna
+
+dna_seq = st.text(alphabet="ACGT", min_size=1, max_size=200)
+
+
+def test_encode_decode_roundtrip():
+    s = "ACGTTGCA"
+    assert dna.decode_seq(dna.encode_seq(s)) == s
+
+
+def test_encode_rejects_non_acgt():
+    with pytest.raises(ValueError):
+        dna.encode_seq("ACGN")
+
+
+def test_complement_is_3_minus_code():
+    assert dna.revcomp_str("A") == "T"
+    assert dna.revcomp_str("ACGT") == "ACGT"  # palindrome
+    assert dna.revcomp_str("AAACCC") == "GGGTTT"
+
+
+@given(dna_seq)
+def test_revcomp_involution(s):
+    assert dna.revcomp_str(dna.revcomp_str(s)) == s
+
+
+@given(dna_seq)
+def test_canonical_idempotent_and_symmetric(s):
+    c = dna.canonical_str(s)
+    assert dna.canonical_str(c) == c
+    assert dna.canonical_str(dna.revcomp_str(s)) == c
+
+
+@pytest.mark.parametrize("k,expected_w", [(15, 1), (16, 2), (21, 2), (25, 2), (31, 2), (32, 3), (41, 3), (47, 3), (48, 4), (63, 4)])
+def test_key_words(k, expected_w):
+    assert dna.key_words(k) == expected_w
+    # >= 1 spare bit: the sentinel (all ones) is never a valid key
+    assert 2 * k < 32 * expected_w
+
+
+@given(dna_seq.filter(lambda s: len(s) <= 63))
+def test_kmer_words_roundtrip(s):
+    k = len(s)
+    words = dna.kmer_to_words(dna.encode_seq(s))
+    assert len(words) == dna.key_words(k)
+    assert dna.words_to_kmer(words, k) == s
+
+
+@given(st.tuples(dna_seq, dna_seq).filter(lambda t: len(t[0]) == len(t[1]) and len(t[0]) <= 63))
+def test_word_order_matches_lexicographic(pair):
+    a, b = pair
+    wa = dna.kmer_to_words(dna.encode_seq(a))
+    wb = dna.kmer_to_words(dna.encode_seq(b))
+    assert (wa < wb) == (a < b)
+    assert (wa == wb) == (a == b)
+
+
+def test_revcomp_codes():
+    codes = dna.encode_seq("AACG")
+    np.testing.assert_array_equal(
+        dna.revcomp_codes(codes), dna.encode_seq("CGTT")
+    )
