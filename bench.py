@@ -1,0 +1,110 @@
+"""Benchmark harness: canonical k-mer counting throughput (SURVEY.md §6).
+
+Prints ONE JSON line:
+  {"metric": "kmer_count_throughput", "value": <kmers/s>, "unit": "kmers/s",
+   "vs_baseline": <speedup vs the reference-style Python dict counter>, ...}
+
+The primary metric is the north-star inner loop (BASELINE.json: "k-mers
+counted/s/chip"): extraction + canonicalization + sort/segment-reduce
+counting of a CFG-2-shaped simulated read set on one chip. ``vs_baseline``
+is the measured speedup over the reference assembler's counting hot loop
+(a straight Python dict-upsert per window, SURVEY.md §3.3) on the same
+machine — the reference publishes no numbers of its own (BASELINE.md), so
+its own implementation is the baseline to beat.
+
+Env knobs: GA_BENCH_GENOME (bases), GA_BENCH_COVERAGE, GA_BENCH_K,
+GA_BENCH_REPS, GA_BENCH_BASELINE_WINDOWS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    import jax
+
+    from genome_assembler_tpu.utils.jaxenv import setup
+
+    setup()
+
+    import numpy as np
+
+    from genome_assembler_tpu.models.oracle import count_canonical_dict
+    from genome_assembler_tpu.models.pipeline import count_reads_device
+    from genome_assembler_tpu.utils.config import AssemblyConfig
+    from genome_assembler_tpu.utils.dna import key_words
+    from genome_assembler_tpu.utils.simulate import simulate_genome, simulate_reads
+
+    genome_len = int(os.environ.get("GA_BENCH_GENOME", 2_000_000))
+    coverage = float(os.environ.get("GA_BENCH_COVERAGE", 40))
+    k = int(os.environ.get("GA_BENCH_K", 31))
+    reps = int(os.environ.get("GA_BENCH_REPS", 3))
+    read_len = 100
+
+    genome = simulate_genome(genome_len, seed=11)
+    rs = simulate_reads(
+        genome, coverage=coverage, read_len=read_len, seed=12
+    )
+    reads = rs.codes
+    n_windows = reads.shape[0] * (read_len - k + 1)
+    cfg = AssemblyConfig(k=k, read_len=read_len)
+
+    # Warmup: compile + first run.
+    t0 = time.perf_counter()
+    table = count_reads_device(reads, cfg)
+    table.counts.block_until_ready()
+    warmup_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        table = count_reads_device(reads, cfg)
+        table.counts.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    kmers_per_s = n_windows / best
+
+    # Reference-style Python dict counting rate on a subsample.
+    base_windows = int(os.environ.get("GA_BENCH_BASELINE_WINDOWS", 200_000))
+    wpr = read_len - k + 1
+    n_base_reads = max(1, base_windows // wpr)
+    t0 = time.perf_counter()
+    count_canonical_dict(reads[:n_base_reads], k)
+    base_s = time.perf_counter() - t0
+    base_rate = (n_base_reads * wpr) / base_s
+
+    # Minimal-traffic HBM model for the roofline fraction: read bytes in +
+    # one key-stream write + one sorted read-back (speed-of-light counting).
+    w = key_words(k)
+    min_bytes = reads.size + 2 * n_windows * w * 4
+    hbm_peak = float(os.environ.get("GA_BENCH_HBM_PEAK", 819e9))  # v5e B/s
+
+    result = {
+        "metric": "kmer_count_throughput",
+        "value": round(kmers_per_s, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(kmers_per_s / base_rate, 2),
+        "detail": {
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "k": k,
+            "reads": int(reads.shape[0]),
+            "windows": int(n_windows),
+            "best_s": round(best, 4),
+            "warmup_s": round(warmup_s, 1),
+            "reference_python_kmers_per_s": round(base_rate, 1),
+            "min_traffic_roofline_frac": round(
+                (min_bytes / best) / hbm_peak, 4
+            ),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -107,6 +107,10 @@ def cmd_simulate(args) -> int:
 def cmd_assemble(args) -> int:
     from .models.oracle import assemble_oracle
 
+    if args.backend != "oracle":
+        from .utils.jaxenv import setup
+
+        setup()
     t0 = time.perf_counter()
     if args.reads:
         seqs = read_sequences(args.reads)

@@ -1,0 +1,105 @@
+"""Single-device TPU assembly pipeline (SURVEY.md §7 minimum slice -> M3).
+
+Stage map vs the reference pipeline (SURVEY.md §3.1):
+  extract_kmers + canonical  -> ops.kmer_jax (XLA) / ops.kmer_pallas (TPU)
+  count + filter             -> ops.count_jax sort/segment-reduce in HBM
+  graph/tips/bubbles/Euler   -> host modules shared with the oracle
+so oracle-vs-TPU contig equality reduces to the counting stage, which is
+bit-checked against ops.kmer_ref in tests.
+
+Reads stream through the device in fixed-shape batches; counted batches
+merge into a capacity-bounded running table (bounded HBM for CFG 2-3 scale
+read sets). The multi-host version of this driver lives in
+``parallel.pipeline``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..host.dbg import counts_to_dict
+from ..host.simplify import simplify_counts
+from ..host.traverse import emit_contigs
+from ..ops import count_jax
+from ..ops.kmer_jax import extract_canonical_flat
+from ..utils.config import AssemblyConfig
+from ..utils.dna import key_words
+
+# Above this many windows, fall back to batched streaming + table merges.
+SINGLE_SHOT_WINDOWS = 1 << 26
+
+
+def count_reads_device(
+    reads: np.ndarray,
+    cfg: AssemblyConfig,
+    *,
+    table_capacity: int | None = None,
+    use_pallas: bool = False,
+) -> count_jax.CountTable:
+    """Count canonical k-mers of [B, L] reads on the device.
+
+    table_capacity: unique-k-mer capacity for the streaming table; defaults
+    to the total window count (always sufficient, single-shot when small).
+    """
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    b, length = reads.shape
+    wpr = length - cfg.k + 1
+    total_windows = b * wpr
+
+    if use_pallas:
+        from ..ops.kmer_pallas import extract_canonical_flat_pallas as extract
+    else:
+        extract = extract_canonical_flat
+
+    if table_capacity is None and total_windows <= SINGLE_SHOT_WINDOWS:
+        keys, _ = extract(reads, cfg.k)
+        return count_jax.count_keys(keys)
+
+    capacity = table_capacity or total_windows
+    batch = cfg.batch_reads
+    padded = -(-b // batch) * batch
+    if padded != b:
+        reads = np.concatenate(
+            [reads, np.zeros((padded - b, length), dtype=np.uint8)], axis=0
+        )
+    table = count_jax.empty_table(capacity, key_words(cfg.k))
+    for start in range(0, padded, batch):
+        chunk = reads[start : start + batch]
+        n_valid = np.int32(min(b - start, batch))
+        keys, _ = extract(chunk, cfg.k, n_valid)
+        table = count_jax.merge_tables(table, count_jax.count_keys(keys))
+    return table
+
+
+def table_to_host_counts(
+    table: count_jax.CountTable, k: int
+) -> dict[str, int]:
+    """Pull the device table to the host as {canonical k-mer: count}."""
+    if bool(table.overflow):
+        raise RuntimeError(
+            "k-mer table overflow: unique k-mers exceeded table capacity; "
+            "rerun with a larger table_capacity"
+        )
+    num = int(table.num_unique)
+    words = np.asarray(table.words)[:num]
+    counts = np.asarray(table.counts)[:num]
+    return counts_to_dict(words, counts, k)
+
+
+def assemble_tpu(
+    reads: np.ndarray,
+    cfg: AssemblyConfig,
+    *,
+    table_capacity: int | None = None,
+    use_pallas: bool = False,
+) -> list[str]:
+    """End-to-end single-device assembly: reads -> canonical contigs."""
+    table = count_reads_device(
+        reads, cfg, table_capacity=table_capacity, use_pallas=use_pallas
+    )
+    table = count_jax.filter_table(table, cfg.min_count)
+    counts = table_to_host_counts(table, cfg.k)
+    graph = simplify_counts(
+        counts, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+    )
+    return emit_contigs(graph)

@@ -1,0 +1,150 @@
+"""Sort/segment-reduce k-mer counting in HBM (SURVEY.md §7 M3).
+
+The TPU-native replacement for the reference's dict-upsert hot loop
+(SURVEY.md §3.3): multi-operand lexicographic ``lax.sort`` over the uint32
+key-word columns (handles 2k > 64, e.g. k=41 -> 82-bit keys, the §7 hard
+part), then run-length segmentation entirely with fixed-shape scatter/cumsum
+ops. All outputs are capacity-bounded with a scalar ``num_unique``; padding
+lanes carry the all-ones sentinel key, which sorts last and forms a
+zero-count group.
+
+Also provides the streaming table: counted batches merge into a running
+capacity-bounded table via concat + sort + segment-sum, so arbitrarily large
+read sets count in bounded HBM (SURVEY.md §6 CFG 2-3 scale).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .kmer_jax import SENTINEL
+
+
+class CountTable(NamedTuple):
+    """Sorted unique canonical k-mers + multiplicities (capacity-bounded).
+
+    words:  [C, W] uint32, lexicographically sorted; sentinel rows padding.
+    counts: [C] int32, 0 on padding rows.
+    num_unique: scalar int32 (<= C).
+    overflow: scalar bool — True if a merge/count exceeded capacity C and
+        entries were dropped (a checked error, SURVEY.md §7 hard parts).
+    """
+
+    words: jax.Array
+    counts: jax.Array
+    num_unique: jax.Array
+    overflow: jax.Array
+
+
+def _is_sentinel(words: jax.Array) -> jax.Array:
+    mask = words[:, 0] == SENTINEL
+    for i in range(1, words.shape[1]):
+        mask &= words[:, i] == SENTINEL
+    return mask
+
+
+def sort_by_words(words: jax.Array, *payloads: jax.Array) -> tuple[jax.Array, ...]:
+    """Lexicographic sort of [N, W] keys (+ payload columns)."""
+    w = words.shape[1]
+    operands = tuple(words[:, i] for i in range(w)) + payloads
+    out = jax.lax.sort(operands, num_keys=w)
+    return (jnp.stack(out[:w], axis=1),) + tuple(out[w:])
+
+
+def _segment_reduce(
+    words_sorted: jax.Array, weights: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Run-length reduce of sorted keys.
+
+    Returns (unique_words [N, W] compact-front, counts [N], num_unique).
+    Sentinel rows reduce into a trailing zero-weight group that is excluded
+    from num_unique and overwritten back to sentinel.
+    """
+    n, w = words_sorted.shape
+    prev = jnp.roll(words_sorted, 1, axis=0)
+    is_start = jnp.any(words_sorted != prev, axis=1).at[0].set(True)
+    uid = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # [N] group ids
+    counts = jnp.zeros(n, dtype=jnp.int64 if weights.dtype == jnp.int64 else jnp.int32)
+    counts = counts.at[uid].add(weights)
+    unique = jnp.zeros_like(words_sorted).at[uid].set(words_sorted)
+    sent = _is_sentinel(words_sorted)
+    num_unique = jnp.max(jnp.where(sent, 0, uid + 1), initial=0)
+    # Re-mark the groups at/after num_unique (the sentinel group) as padding.
+    lane = jnp.arange(n, dtype=jnp.int32)
+    pad = lane >= num_unique
+    unique = jnp.where(pad[:, None], SENTINEL, unique)
+    counts = jnp.where(pad, 0, counts)
+    return unique, counts, num_unique.astype(jnp.int32)
+
+
+@jax.jit
+def count_keys(keys: jax.Array, weights: jax.Array | None = None) -> CountTable:
+    """[N, W] canonical keys (sentinel = invalid) -> CountTable of capacity N."""
+    n = keys.shape[0]
+    if weights is None:
+        weights = jnp.where(_is_sentinel(keys), 0, 1).astype(jnp.int32)
+    words_sorted, weights_sorted = sort_by_words(keys, weights)
+    unique, counts, num_unique = _segment_reduce(words_sorted, weights_sorted)
+    return CountTable(
+        words=unique,
+        counts=counts,
+        num_unique=num_unique,
+        overflow=jnp.asarray(False),
+    )
+
+
+def empty_table(capacity: int, w: int) -> CountTable:
+    return CountTable(
+        words=jnp.full((capacity, w), SENTINEL, dtype=jnp.uint32),
+        counts=jnp.zeros(capacity, dtype=jnp.int32),
+        num_unique=jnp.asarray(0, dtype=jnp.int32),
+        overflow=jnp.asarray(False),
+    )
+
+
+@jax.jit
+def merge_tables(table: CountTable, batch: CountTable) -> CountTable:
+    """Merge a counted batch into the running table (same W, capacities differ).
+
+    Result capacity == table capacity; overflow flags entries dropped when
+    the merged unique count exceeds it. O((C+N) log(C+N)) sort — the
+    TPU-native analog of the reference's dict upsert merge.
+    """
+    cap = table.words.shape[0]
+    words = jnp.concatenate([table.words, batch.words], axis=0)
+    weights = jnp.concatenate([table.counts, batch.counts], axis=0)
+    words_sorted, weights_sorted = sort_by_words(words, weights)
+    unique, counts, num_unique = _segment_reduce(words_sorted, weights_sorted)
+    overflow = table.overflow | batch.overflow | (num_unique > cap)
+    return CountTable(
+        words=unique[:cap],
+        counts=counts[:cap],
+        num_unique=jnp.minimum(num_unique, cap),
+        overflow=overflow,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("min_count",))
+def filter_table(table: CountTable, min_count: int) -> CountTable:
+    """Coverage filter (reference C4): drop counts < min_count, recompact.
+
+    Compaction keeps the survivors sorted at the front (stable sort on the
+    drop flag), so downstream graph building sees a dense sorted table.
+    """
+    keep = table.counts >= min_count
+    n = table.words.shape[0]
+    w = table.words.shape[1]
+    words = jnp.where(keep[:, None], table.words, SENTINEL)
+    counts = jnp.where(keep, table.counts, 0)
+    words_sorted, counts_sorted = sort_by_words(words, counts)
+    num = jnp.sum(keep.astype(jnp.int32))
+    return CountTable(
+        words=words_sorted.reshape(n, w),
+        counts=counts_sorted,
+        num_unique=num,
+        overflow=table.overflow,
+    )

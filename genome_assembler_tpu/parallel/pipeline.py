@@ -1,0 +1,180 @@
+"""Multi-device distributed counting pipeline (SURVEY.md §7 M5).
+
+The long-context / sequence-parallel analog for this workload (SURVEY.md §5):
+the global k-mer space is sharded by a mixing hash across devices, so no
+device ever holds the whole table — capacity scales linearly with devices.
+
+Per ``shard_map``-mapped device step:
+  1. extract + canonicalize local read shard (DP over reads);
+  2. route each k-mer to its owner: bucket = mix_hash(key) % D
+     (an EP/Ulysses-style all-to-all resharding, not a ring);
+  3. pack buckets into a fixed [D, Bcap, W] send buffer (capacity-bounded,
+     overflow-checked) and ``lax.all_to_all`` it over the mesh axis;
+  4. sort/segment-reduce the received keys into the local table shard.
+
+Each canonical k-mer's occurrences all land on one owner device, so local
+counts are already global counts; the coverage filter is local. The host
+gathers the (genome-sized, not read-sized) surviving tables for the branchy
+residue, per SURVEY.md §7 M4/M5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..host.dbg import counts_to_dict
+from ..host.simplify import simplify_counts
+from ..host.traverse import emit_contigs
+from ..ops import count_jax
+from ..ops.hash import mix_words
+from ..ops.kmer_jax import SENTINEL, extract_kmers
+from ..utils.config import AssemblyConfig
+from ..utils.dna import key_words
+
+
+def _local_extract(reads: jax.Array, k: int, n_valid: jax.Array):
+    """[B, L] local shard -> ([N, W] canonical keys, [N] valid)."""
+    b, length = reads.shape
+    wc = length - k + 1
+    keys = extract_kmers(reads, k, canonical=True)
+    row_ok = jnp.arange(b, dtype=jnp.int32) < n_valid
+    valid = jnp.broadcast_to(row_ok[:, None], (b, wc)).reshape(b * wc)
+    keys = jnp.where(valid[:, None], keys.reshape(b * wc, -1), SENTINEL)
+    return keys, valid
+
+
+def _route_to_buckets(
+    keys: jax.Array, valid: jax.Array, num_buckets: int, bucket_cap: int
+):
+    """Pack keys into a [num_buckets, bucket_cap, W] send buffer.
+
+    Keys are sorted by (invalid, bucket, key words); each bucket's run is
+    scattered into its fixed-capacity row. Returns (send_buffer, overflow).
+    """
+    n, w = keys.shape
+    bucket = (mix_words(keys) % jnp.uint32(num_buckets)).astype(jnp.uint32)
+    inv = (~valid).astype(jnp.uint32)
+    operands = (inv, bucket) + tuple(keys[:, i] for i in range(w))
+    out = jax.lax.sort(operands, num_keys=2 + w)
+    bucket_sorted = out[1]
+    keys_sorted = jnp.stack(out[2 : 2 + w], axis=1)
+    valid_sorted = out[0] == 0
+
+    per_bucket = jnp.zeros(num_buckets, dtype=jnp.int32).at[bucket_sorted].add(
+        valid_sorted.astype(jnp.int32), mode="drop"
+    )
+    starts = jnp.cumsum(per_bucket) - per_bucket  # exclusive prefix sum
+    pos = jnp.arange(n, dtype=jnp.int32) - starts[bucket_sorted]
+    dest = bucket_sorted.astype(jnp.int32) * bucket_cap + pos
+    oob = (~valid_sorted) | (pos >= bucket_cap)
+    dest = jnp.where(oob, num_buckets * bucket_cap, dest)  # dropped by mode
+    send = jnp.full((num_buckets * bucket_cap, w), SENTINEL, dtype=jnp.uint32)
+    send = send.at[dest].set(keys_sorted, mode="drop")
+    overflow = jnp.any(per_bucket > bucket_cap)
+    return send.reshape(num_buckets, bucket_cap, w), overflow
+
+
+def make_distributed_count(
+    mesh: Mesh, k: int, batch_per_device: int, read_len: int, bucket_cap: int,
+    axis: str = "d",
+):
+    """Build the jitted multi-device counting step.
+
+    Returns fn(reads [D*B, L] u8, n_valid [D] i32) ->
+      (words [D*C, W] row-sharded, counts [D*C], num_unique [D], overflow []).
+    C = D * bucket_cap is each device's table capacity.
+    """
+    d = mesh.shape[axis]
+    w = key_words(k)
+
+    def local_step(reads, n_valid):
+        keys, valid = _local_extract(reads[0], k, n_valid[0])
+        send, overflow = _route_to_buckets(keys, valid, d, bucket_cap)
+        recv = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=False
+        )
+        table = count_jax.count_keys(recv.reshape(d * bucket_cap, w))
+        overflow = jax.lax.pmax(
+            (overflow | table.overflow).astype(jnp.int32), axis
+        )
+        return (
+            table.words,
+            table.counts,
+            table.num_unique[None],
+            overflow > 0,
+        )
+
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(reads, n_valid):
+        # reads arrive [D, B, L] row-sharded; local shard is [1, B, L]
+        return mapped(reads, n_valid)
+
+    return step
+
+
+def distributed_count_to_host(
+    reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
+    bucket_cap: int | None = None, axis: str = "d",
+) -> dict[str, int]:
+    """Count reads over the mesh; gather the global table as a host dict."""
+    d = mesh.shape[axis]
+    b, length = reads.shape
+    per_dev = -(-b // d)
+    padded = per_dev * d
+    if padded != b:
+        reads = np.concatenate(
+            [reads, np.zeros((padded - b, length), dtype=np.uint8)], axis=0
+        )
+    n_valid = np.clip(b - per_dev * np.arange(d), 0, per_dev).astype(np.int32)
+    windows = per_dev * (length - cfg.k + 1)
+    if bucket_cap is None:
+        # expected windows/bucket plus generous skew slack
+        bucket_cap = int(windows / d * 1.5) + 64
+
+    step = make_distributed_count(
+        mesh, cfg.k, per_dev, length, bucket_cap, axis
+    )
+    sharding = NamedSharding(mesh, P(axis, None, None))
+    reads_dev = jax.device_put(reads.reshape(d, per_dev, length), sharding)
+    words, counts, num_unique, overflow = step(reads_dev, n_valid)
+    if bool(overflow):
+        raise RuntimeError(
+            "bucket overflow during all-to-all routing; increase bucket_cap"
+        )
+    words = np.asarray(words).reshape(d, -1, key_words(cfg.k))
+    counts = np.asarray(counts).reshape(d, -1)
+    num_unique = np.asarray(num_unique)
+    merged: dict[str, int] = {}
+    for dev in range(d):
+        n = int(num_unique[dev])
+        merged.update(counts_to_dict(words[dev, :n], counts[dev, :n], cfg.k))
+    return merged
+
+
+def assemble_distributed(
+    reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh | None = None
+) -> list[str]:
+    """End-to-end multi-device assembly: reads -> canonical contigs."""
+    from .mesh import build_mesh
+
+    mesh = mesh or build_mesh()
+    counts = distributed_count_to_host(reads, cfg, mesh)
+    kept = {km: c for km, c in counts.items() if c >= cfg.min_count}
+    graph = simplify_counts(
+        kept, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+    )
+    return emit_contigs(graph)

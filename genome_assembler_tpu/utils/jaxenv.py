@@ -1,0 +1,36 @@
+"""JAX runtime environment setup (platform choice + compile cache).
+
+Two quirks of this environment (SURVEY.md §7 [ENV]):
+  * the experimental `axon` TPU platform is force-registered in jax.config
+    at import time, overriding the JAX_PLATFORMS env var — so an explicit
+    cpu request must be re-applied via jax.config;
+  * first TPU compilation is extremely slow (minutes), so the persistent
+    compilation cache is always enabled — repeat runs (tests, benches,
+    driver checks) hit the cache.
+
+Call ``setup()`` once before the first device use. GA_PLATFORM=cpu|tpu
+overrides; default leaves the platform resolution alone (tpu when present).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DONE = False
+
+
+def setup(platform: str | None = None) -> None:
+    global _DONE
+    import jax
+
+    if not _DONE:
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/ga_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _DONE = True
+
+    platform = platform or os.environ.get("GA_PLATFORM")
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif platform == "tpu":
+        jax.config.update("jax_platforms", "axon,cpu")

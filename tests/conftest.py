@@ -17,6 +17,14 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# This environment force-registers the experimental `axon` TPU platform in
+# jax.config at import time, overriding JAX_PLATFORMS; pin the config back
+# to CPU unless TPU tests were explicitly requested.
+import jax  # noqa: E402
+
+if os.environ.get("GA_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 
