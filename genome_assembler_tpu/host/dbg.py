@@ -166,3 +166,50 @@ def unitig_graph_from_counts(
 def unitig_kmers(u: Unitig) -> list[str]:
     """The k-mer edges a unitig spells (used when deleting it from the graph)."""
     return [u.seq[i : i + u.k] for i in range(u.edges)]
+
+
+def spell_device_unitigs(dev, k: int) -> list[Unitig]:
+    """Vectorized spelling of ops.unitig_jax.DeviceUnitigs into host Unitigs.
+
+    Per unitig chain: the head edge's (k-1)-mer prefix, then the last base
+    of every edge in chain order — all scatter-assembled in NumPy, no
+    per-edge Python loop (SURVEY.md §7 M4 host residue).
+    """
+    valid = np.asarray(dev.valid)
+    ew = np.asarray(dev.edge_words)[valid]
+    cov = np.asarray(dev.cov)[valid].astype(np.int64)
+    uid = np.asarray(dev.uid)[valid].astype(np.int64)
+    pos = np.asarray(dev.pos)[valid].astype(np.int64)
+    u = int(dev.num_unitigs)
+    w = ew.shape[1]
+
+    length = np.zeros(u, dtype=np.int64)
+    np.add.at(length, uid, 1)
+    cov_sum = np.zeros(u, dtype=np.int64)
+    np.add.at(cov_sum, uid, cov)
+
+    str_len = (k - 1) + length
+    offsets = np.zeros(u + 1, dtype=np.int64)
+    np.cumsum(str_len, out=offsets[1:])
+    buf = np.empty(int(offsets[-1]), dtype=np.uint8)
+
+    buf[offsets[uid] + (k - 1) + pos] = (ew[:, -1] & 3).astype(np.uint8)
+    heads = pos == 0
+    head_words = ew[heads]
+    head_off = offsets[uid[heads]]
+    for j in range(k - 1):
+        bitpos = 2 * (k - 1 - j)
+        widx = w - 1 - bitpos // 32
+        base = (head_words[:, widx] >> np.uint32(bitpos % 32)) & np.uint32(3)
+        buf[head_off + j] = base.astype(np.uint8)
+
+    raw = _DECODE_LUT[buf].tobytes()
+    return [
+        Unitig(
+            seq=raw[offsets[i] : offsets[i + 1]].decode(),
+            cov=cov_sum[i] / length[i],
+            edges=int(length[i]),
+            k=k,
+        )
+        for i in range(u)
+    ]

@@ -2,7 +2,10 @@
 
 Runs on the host over the compressed unitig graph — after compression the
 branchy residue is thousands of unitigs, not millions of k-mers
-(SURVEY.md §7 M4), so plain Python is fine here.
+(SURVEY.md §7 M4), so plain Python is fine here. The same code serves both
+pipelines: the oracle compresses k-mer dicts on host, the TPU path
+compresses on device (ops.unitig_jax); both hand a unitig list to
+``simplify_unitigs``.
 
 Rules (normative, strand-symmetric, deterministic — SURVEY.md §7 hard parts):
 
@@ -19,22 +22,69 @@ tie-broken by smallest *canonical* sequence (canonical, not raw, so the
 choice agrees between a bubble and its reverse-complement twin bubble);
 delete the rest.
 
-Both passes iterate (removal can expose new tips / merge through bubbles)
-until a fixpoint, with recompression between rounds.
+After each removal round, non-branching chains of surviving unitigs are
+merged (unitig-level recompression) and the passes repeat to fixpoint.
 """
 
 from __future__ import annotations
 
 from ..utils.dna import canonical_str
 from .dbg import (
+    Unitig,
     UnitigGraph,
     both_strand_edges,
     build_unitig_graph,
     compress_unitigs,
-    unitig_kmers,
 )
 
 _MAX_ROUNDS = 64
+
+
+def merge_chains(unitigs: list[Unitig], k: int) -> list[Unitig]:
+    """Merge non-branching chains of unitigs (unitig-level recompression).
+
+    Equivalent to deleting nothing and recompressing the k-mer graph: a
+    boundary node stops being a junction only when deletions bring it to
+    in == out == 1, and then its two incident unitigs merge.
+    Deterministic: walks start from unitigs in sorted-sequence order.
+    """
+    order = sorted(range(len(unitigs)), key=lambda i: unitigs[i].seq)
+    out_at: dict[str, list[int]] = {}
+    in_at: dict[str, list[int]] = {}
+    for i in order:
+        out_at.setdefault(unitigs[i].start, []).append(i)
+        in_at.setdefault(unitigs[i].end, []).append(i)
+
+    def is_junction(node: str) -> bool:
+        return len(out_at.get(node, ())) != 1 or len(in_at.get(node, ())) != 1
+
+    consumed = [False] * len(unitigs)
+    merged: list[Unitig] = []
+
+    def walk(first: int, stop_node: str | None) -> None:
+        chain = [first]
+        consumed[first] = True
+        node = unitigs[first].end
+        while not is_junction(node) and node != stop_node:
+            nxt = out_at[node][0]
+            if consumed[nxt]:
+                break
+            chain.append(nxt)
+            consumed[nxt] = True
+            node = unitigs[nxt].end
+        parts = [unitigs[chain[0]].seq]
+        parts.extend(unitigs[i].seq[k - 1 :] for i in chain[1:])
+        edges = sum(unitigs[i].edges for i in chain)
+        cov = sum(unitigs[i].cov * unitigs[i].edges for i in chain) / edges
+        merged.append(Unitig(seq="".join(parts), cov=cov, edges=edges, k=k))
+
+    for i in order:
+        if not consumed[i] and is_junction(unitigs[i].start):
+            walk(i, stop_node=None)
+    for i in order:  # pure unitig cycles
+        if not consumed[i]:
+            walk(i, stop_node=unitigs[i].start)
+    return merged
 
 
 def _find_tips(g: UnitigGraph, tip_len: int) -> list[int]:
@@ -91,21 +141,20 @@ class _neg_canon:
         return isinstance(other, _neg_canon) and self.s == other.s
 
 
-def simplify_edges(
-    edges: dict[str, int], k: int, tip_len: int, bubble_len: int
-) -> dict[str, int]:
-    """Iterate tip + bubble removal to fixpoint on the directed edge dict."""
+def simplify_unitigs(
+    unitigs: list[Unitig], k: int, tip_len: int, bubble_len: int
+) -> UnitigGraph:
+    """Iterate tip + bubble removal (with chain re-merging) to fixpoint."""
     for _ in range(_MAX_ROUNDS):
-        g = build_unitig_graph(compress_unitigs(edges, k), k)
-        doomed = _find_tips(g, tip_len)
+        g = build_unitig_graph(unitigs, k)
+        doomed = set(_find_tips(g, tip_len))
         if not doomed:
-            doomed = _find_bubble_losers(g, bubble_len)
+            doomed = set(_find_bubble_losers(g, bubble_len))
         if not doomed:
-            return edges
-        for i in doomed:
-            for kmer in unitig_kmers(g.unitigs[i]):
-                edges.pop(kmer, None)
-    return edges
+            return g
+        survivors = [u for i, u in enumerate(unitigs) if i not in doomed]
+        unitigs = merge_chains(survivors, k)
+    return build_unitig_graph(unitigs, k)
 
 
 def simplify_counts(
@@ -116,5 +165,5 @@ def simplify_counts(
 ) -> UnitigGraph:
     """Canonical counts -> simplified strand-symmetric unitig graph."""
     edges = both_strand_edges(canonical_counts)
-    edges = simplify_edges(edges, k, tip_len, bubble_len)
-    return build_unitig_graph(compress_unitigs(edges, k), k)
+    unitigs = compress_unitigs(edges, k)
+    return simplify_unitigs(unitigs, k, tip_len, bubble_len)

@@ -48,19 +48,30 @@ def count_reads_device(
 
     if use_pallas:
         from ..ops.kmer_pallas import extract_canonical_flat_pallas as extract
+
+        # Pallas grid tiles are 256 read rows; pad the batch and mask the
+        # padding rows via n_valid (they emit the sentinel key).
+        tile = 256
+        padded_b = -(-b // tile) * tile
+        if padded_b != b:
+            reads = np.concatenate(
+                [reads, np.zeros((padded_b - b, length), dtype=np.uint8)],
+                axis=0,
+            )
     else:
         extract = extract_canonical_flat
 
     if table_capacity is None and total_windows <= SINGLE_SHOT_WINDOWS:
-        keys, _ = extract(reads, cfg.k)
+        keys, _ = extract(reads, cfg.k, np.int32(b))
         return count_jax.count_keys(keys)
 
     capacity = table_capacity or total_windows
     batch = cfg.batch_reads
-    padded = -(-b // batch) * batch
-    if padded != b:
+    padded = -(-reads.shape[0] // batch) * batch
+    if padded != reads.shape[0]:
         reads = np.concatenate(
-            [reads, np.zeros((padded - b, length), dtype=np.uint8)], axis=0
+            [reads, np.zeros((padded - reads.shape[0], length), dtype=np.uint8)],
+            axis=0,
         )
     table = count_jax.empty_table(capacity, key_words(cfg.k))
     for start in range(0, padded, batch):
@@ -92,14 +103,37 @@ def assemble_tpu(
     *,
     table_capacity: int | None = None,
     use_pallas: bool = False,
+    device_unitigs: bool = True,
 ) -> list[str]:
-    """End-to-end single-device assembly: reads -> canonical contigs."""
+    """End-to-end single-device assembly: reads -> canonical contigs.
+
+    device_unitigs=True (default): compress non-branching chains on device
+    by pointer jumping (ops.unitig_jax) and spell them vectorized on host —
+    the host never touches a per-k-mer dict. False falls back to the
+    dict-based host graph (debug/oracle-equivalence path). Device
+    compression requires odd k.
+    """
     table = count_reads_device(
         reads, cfg, table_capacity=table_capacity, use_pallas=use_pallas
     )
     table = count_jax.filter_table(table, cfg.min_count)
-    counts = table_to_host_counts(table, cfg.k)
-    graph = simplify_counts(
-        counts, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
-    )
+    if device_unitigs and cfg.k % 2 == 1:
+        from ..host.dbg import spell_device_unitigs
+        from ..host.simplify import simplify_unitigs
+        from ..ops.unitig_jax import compress_unitigs_device
+
+        if bool(table.overflow):
+            raise RuntimeError(
+                "k-mer table overflow: rerun with a larger table_capacity"
+            )
+        dev = compress_unitigs_device(table, cfg.k)
+        unitigs = spell_device_unitigs(dev, cfg.k)
+        graph = simplify_unitigs(
+            unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+        )
+    else:
+        counts = table_to_host_counts(table, cfg.k)
+        graph = simplify_counts(
+            counts, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+        )
     return emit_contigs(graph)

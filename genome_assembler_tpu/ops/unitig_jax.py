@@ -1,0 +1,153 @@
+"""On-device unitig compression by pointer jumping (SURVEY.md §7 M4).
+
+The reference walks non-branching chains one edge at a time on the host
+(SURVEY.md §3.4); here the non-branching 95% of the graph is compressed in
+O(log E) doubling sweeps of fixed-shape gathers — the TPU-native
+restructuring mandated by the north star ("Eulerian path traversal
+restructured as iterative parallel unitig compression (pointer-jumping /
+list-ranking on non-branching chains)", BASELINE.json).
+
+Pipeline (all static shapes, capacity = 2C directed edges):
+  1. both-strand edge table: canonical k-mers + their reverse complements,
+     lexicographically sorted — edge id == sorted position;
+  2. successor linking: edge e chains into the unique edge whose prefix
+     node equals suffix(e) iff that node has outdeg == indeg == 1, found by
+     lexicographic binary search (prefix order == key order);
+  3. chain heads via pointer doubling on the predecessor pointers, with
+     min-id tracking to break pure cycles deterministically at their
+     lexicographically smallest edge (matching host compress_unitigs);
+  4. outputs (edge -> unitig id, position, coverage) are spelled into
+     strings on the host by vectorized NumPy (host/dbg.spell_unitigs).
+
+Semantics are bit-identical to host compress_unitigs on the same counts
+(tested); only the mechanics are parallel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .count_jax import CountTable, sort_by_words
+from .kmer_jax import SENTINEL
+from .words_jax import (
+    prefix_node,
+    revcomp_words,
+    searchsorted_words,
+    suffix_node,
+)
+
+
+class DeviceUnitigs(NamedTuple):
+    """Edge-level unitig assignment, capacity 2C (invalid lanes masked).
+
+    edge_words: [E, W] sorted directed edge k-mers (both strands).
+    cov:        [E] int32 multiplicity per edge.
+    uid:        [E] int32 unitig id (dense, 0..num_unitigs-1) or -1 invalid.
+    pos:        [E] int32 position of the edge within its unitig chain.
+    valid:      [E] bool.
+    num_unitigs: scalar int32.
+    """
+
+    edge_words: jax.Array
+    cov: jax.Array
+    uid: jax.Array
+    pos: jax.Array
+    valid: jax.Array
+    num_unitigs: jax.Array
+
+
+def _doubling(prev: jax.Array, steps: int):
+    """Pointer doubling: returns (ancestor, distance, min_id_on_path).
+
+    prev[e] = predecessor edge id or -1. Heads (prev == -1) self-loop, so
+    ancestor converges to the chain head and distance to the chain offset.
+    For pure cycles the ancestor keeps rotating; min_id identifies the
+    deterministic break point.
+    """
+    n = prev.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    anc = jnp.where(prev >= 0, prev, ids)
+    dist = (prev >= 0).astype(jnp.int32)
+    mn = jnp.minimum(ids, anc)
+
+    def body(_, state):
+        anc, dist, mn = state
+        anc2 = anc[anc]
+        dist2 = dist + dist[anc]
+        mn2 = jnp.minimum(mn, mn[anc])
+        return anc2, dist2, mn2
+
+    return jax.lax.fori_loop(0, steps, body, (anc, dist, mn))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def compress_unitigs_device(table: CountTable, k: int) -> DeviceUnitigs:
+    """Filtered canonical CountTable -> unitig chain assignment (see module).
+
+    Requires odd k (no palindromic k-mers, so the both-strand edge set has
+    exactly two distinct directed edges per canonical k-mer).
+    """
+    if k % 2 == 0:
+        raise ValueError("device unitig compression requires odd k")
+    c, w = table.words.shape
+    lane = jnp.arange(c, dtype=jnp.int32)
+    is_real = lane < table.num_unique
+
+    rc = revcomp_words(table.words, k)
+    rc = jnp.where(is_real[:, None], rc, SENTINEL)
+    edge_words = jnp.concatenate([table.words, rc], axis=0)
+    covs = jnp.concatenate([table.counts, table.counts], axis=0)
+    covs = jnp.where(jnp.concatenate([is_real, is_real]), covs, 0)
+
+    edge_words, covs = sort_by_words(edge_words, covs)
+    e = 2 * c
+    ids = jnp.arange(e, dtype=jnp.int32)
+    valid = ~jnp.all(edge_words == SENTINEL, axis=1)
+    n_edges = jnp.sum(valid.astype(jnp.int32))
+
+    pre = prefix_node(edge_words, k)   # sorted (prefix of sort key)
+    suf = suffix_node(edge_words, k)
+    # suffix_node(sentinel) would alias the all-T node key and corrupt
+    # degree counts; pin invalid lanes to the sentinel (> any valid node).
+    suf = jnp.where(valid[:, None], suf, SENTINEL)
+
+    # outdeg range of node suf(e) in the prefix-sorted edge table
+    lo = searchsorted_words(pre, suf, side="left")
+    hi = searchsorted_words(pre, suf, side="right")
+    # clip: sentinel edges query garbage; their links are masked below
+    outdeg = hi - lo
+    # indeg of node suf(e): count among sorted suffix keys
+    suf_sorted = sort_by_words(suf)[0]
+    slo = searchsorted_words(suf_sorted, suf, side="left")
+    shi = searchsorted_words(suf_sorted, suf, side="right")
+    indeg = shi - slo
+
+    chain = valid & (outdeg == 1) & (indeg == 1)
+    succ = jnp.where(chain, lo, e)  # e == out-of-bounds drop
+    # invert: prev[succ[e]] = e
+    prev = jnp.full(e, -1, dtype=jnp.int32).at[succ].set(ids, mode="drop")
+
+    steps = max(1, int(np.ceil(np.log2(max(e, 2)))) + 1)
+    anc, _, mn = _doubling(prev, steps)
+    # cycle iff the converged ancestor still has a predecessor
+    in_cycle = valid & (prev[anc] >= 0)
+    # break each cycle at its minimum edge id
+    prev2 = jnp.where(in_cycle & (ids == mn), -1, prev)
+    anc2, dist2, _ = _doubling(prev2, steps)
+
+    heads = valid & (prev2[ids] == -1)
+    head_rank = jnp.cumsum(heads.astype(jnp.int32)) - 1
+    uid = jnp.where(valid, head_rank[anc2], -1)
+    return DeviceUnitigs(
+        edge_words=edge_words,
+        cov=covs,
+        uid=uid,
+        pos=dist2,
+        valid=valid,
+        num_unitigs=jnp.sum(heads.astype(jnp.int32)),
+    )
