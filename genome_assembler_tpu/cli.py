@@ -139,13 +139,24 @@ def cmd_assemble(args) -> int:
     )
     if args.backend == "oracle":
         contigs = assemble_oracle(reads, cfg)
+        metrics = None
     else:  # tpu
         from .models.pipeline import assemble_tpu
+        from .utils.metrics import Metrics
 
         if not isinstance(reads, np.ndarray):
             raise SystemExit("--backend tpu requires uniform-length reads")
-        contigs = assemble_tpu(reads, cfg)
+        metrics = Metrics()
+        contigs = assemble_tpu(
+            reads,
+            cfg,
+            metrics=metrics,
+            checkpoint=args.checkpoint,
+            resume_from=args.resume_from,
+        )
     dt = time.perf_counter() - t0
+    if args.metrics_out and metrics is not None:
+        metrics.dump(args.metrics_out)
 
     out = open(args.out, "w") if args.out else sys.stdout
     write_fasta(contigs, out)
@@ -179,8 +190,36 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--bubble-len", type=int, default=None)
     pa.add_argument("--backend", choices=["oracle", "tpu"], default="oracle")
     pa.add_argument("--out", default=None, help="contigs FASTA (default stdout)")
+    pa.add_argument("--metrics-out", default=None,
+                    help="write per-stage metrics JSON here")
+    pa.add_argument("--checkpoint", default=None,
+                    help="save the counted k-mer table (.npz) here")
+    pa.add_argument("--resume-from", default=None,
+                    help="skip counting; restart from a table checkpoint")
     pa.set_defaults(fn=cmd_assemble)
+
+    pc = sub.add_parser(
+        "accept", help="run driver acceptance configs (BASELINE.md 0-4)"
+    )
+    pc.add_argument("configs", nargs="*", type=int, default=None,
+                    help="config ids (default: all)")
+    pc.set_defaults(fn=cmd_accept)
     return p
+
+
+def cmd_accept(args) -> int:
+    from .utils.jaxenv import setup
+
+    setup()
+    from .models.acceptance import RUNNERS, run
+
+    ids = args.configs if args.configs else sorted(RUNNERS)
+    results = run(ids)
+    ok = True
+    for r in results:
+        print(r.to_json())
+        ok = ok and r.passed
+    return 0 if ok else 1
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -1,0 +1,195 @@
+"""Acceptance-config harness (BASELINE.md configs 0-4, SURVEY.md §7 M6).
+
+One runner per driver acceptance config; each simulates its read set
+(synthesized stand-in genomes — no genome data ships offline, SURVEY.md §6),
+runs the TPU pipeline, checks the config's correctness bar, and emits the
+§6 metrics JSON (k-mers/s, reads/s, roofline fraction, weak scaling).
+
+  0: error-free 10 kb, 100x, len-100, k=25 — exact contig match vs oracle.
+  1: lambda 48.5 kb, 1% errors, k=31      — tips + coverage filter.
+  2: E. coli 4.6 Mb, 50x, k=31            — single-chip table, roofline.
+  3: E. coli, 200x, k in {21,31,41}       — sort/dedup stress, >64-bit keys.
+  4: yeast 12 Mb, 100x, multi-device      — sharded table, all-to-all,
+                                            weak-scaling efficiency.
+
+Scale overrides (GA_ACCEPT_SCALE in (0,1]) shrink genomes/coverage for CI;
+the full-size runs are what BENCH/acceptance report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+
+from ..host.traverse import contigs_equal
+from ..utils.config import AssemblyConfig
+from ..utils.dna import decode_seq
+from ..utils.metrics import Metrics
+from ..utils.simulate import simulate_genome, simulate_reads
+from .oracle import assemble_oracle
+from .pipeline import assemble_tpu
+
+
+@dataclass
+class AcceptResult:
+    config: int
+    passed: bool
+    detail: dict
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"config": self.config, "passed": self.passed, **self.detail}
+        )
+
+
+def _scale() -> float:
+    return float(os.environ.get("GA_ACCEPT_SCALE", "1.0"))
+
+
+def _run_single(
+    genome_len: int,
+    coverage: float,
+    k: int,
+    *,
+    error_rate: float = 0.0,
+    min_count: int = 1,
+    seed: int = 1000,
+    check_oracle: bool = True,
+    use_pallas: bool = False,
+) -> tuple[bool, dict]:
+    s = _scale()
+    genome_len = max(int(genome_len * s), 50 * k)
+    coverage = max(coverage * max(s, 0.2), 8)
+    genome = simulate_genome(genome_len, seed=seed)
+    rs = simulate_reads(
+        genome,
+        coverage=coverage,
+        read_len=100,
+        seed=seed + 1,
+        error_rate=error_rate,
+    )
+    cfg = AssemblyConfig(k=k, min_count=min_count, read_len=100)
+    m = Metrics()
+    t0 = time.perf_counter()
+    contigs = assemble_tpu(rs.codes, cfg, metrics=m, use_pallas=use_pallas)
+    wall = time.perf_counter() - t0
+
+    genome_str = decode_seq(genome)
+    if error_rate == 0.0:
+        passed = contigs_equal(contigs, [genome_str])
+    else:
+        # end-trimming + rare error breaks are legitimate; the bar is
+        # oracle-equality (the reference-equivalent implementation)
+        passed = True
+    if check_oracle:
+        oracle = assemble_oracle(rs.codes, cfg)
+        passed = passed and contigs == oracle
+    detail = {
+        "genome_len": genome_len,
+        "coverage": round(coverage, 1),
+        "k": k,
+        "reads": rs.num_reads,
+        "contigs": len(contigs),
+        "contig_bases": sum(len(c) for c in contigs),
+        "wall_s": round(wall, 2),
+        "metrics": m.report(),
+    }
+    return passed, detail
+
+
+def accept_cfg0() -> AcceptResult:
+    passed, detail = _run_single(10_000, 100, 25, seed=1010)
+    return AcceptResult(0, passed, detail)
+
+
+def accept_cfg1() -> AcceptResult:
+    passed, detail = _run_single(
+        48_502, 100, 31, error_rate=0.01, min_count=5, seed=1020
+    )
+    return AcceptResult(1, passed, detail)
+
+
+def accept_cfg2() -> AcceptResult:
+    passed, detail = _run_single(
+        4_641_652, 50, 31, seed=1030, check_oracle=_scale() < 0.2
+    )
+    return AcceptResult(2, passed, detail)
+
+
+def accept_cfg3() -> AcceptResult:
+    details = {}
+    ok = True
+    for k in (21, 31, 41):
+        passed, detail = _run_single(
+            4_641_652,
+            200,
+            k,
+            seed=1040,
+            check_oracle=_scale() < 0.2,
+        )
+        ok = ok and passed
+        details[f"k{k}"] = detail
+    return AcceptResult(3, ok, details)
+
+
+def accept_cfg4() -> AcceptResult:
+    """Multi-device sharded counting + weak-scaling efficiency."""
+    import jax
+
+    from ..parallel.mesh import build_mesh
+    from ..parallel.pipeline import distributed_count_to_host
+
+    s = _scale()
+    genome_len = max(int(12_000_000 * s), 2000)
+    coverage = max(100 * max(s, 0.2), 8)
+    genome = simulate_genome(genome_len, seed=1050)
+    rs = simulate_reads(genome, coverage=coverage, read_len=100, seed=1051)
+    cfg = AssemblyConfig(k=31, read_len=100)
+
+    n_dev = len(jax.devices())
+    sizes = [d for d in (1, 2, n_dev) if d <= n_dev]
+    rates = {}
+    for d in sorted(set(sizes)):
+        mesh = build_mesh(d)
+        t0 = time.perf_counter()
+        counts = distributed_count_to_host(rs.codes, cfg, mesh)
+        dt = time.perf_counter() - t0
+        rates[d] = rs.num_reads / dt
+    base = rates[min(rates)]
+    eff = {
+        d: round(r / (base * d / min(rates)), 3) for d, r in rates.items()
+    }
+    passed = len(counts) > 0
+    return AcceptResult(
+        4,
+        passed,
+        {
+            "genome_len": genome_len,
+            "reads": rs.num_reads,
+            "devices": sizes,
+            "reads_per_s": {str(d): round(r, 1) for d, r in rates.items()},
+            "weak_scaling_eff": {str(d): e for d, e in eff.items()},
+            "unique_kmers": len(counts),
+        },
+    )
+
+
+RUNNERS: dict[int, Callable[[], AcceptResult]] = {
+    0: accept_cfg0,
+    1: accept_cfg1,
+    2: accept_cfg2,
+    3: accept_cfg3,
+    4: accept_cfg4,
+}
+
+
+def run(config_ids: list[int]) -> list[AcceptResult]:
+    results = []
+    for cid in config_ids:
+        results.append(RUNNERS[cid]())
+    return results

@@ -97,6 +97,29 @@ def table_to_host_counts(
     return counts_to_dict(words, counts, k)
 
 
+def save_table(table: count_jax.CountTable, path: str) -> None:
+    """Stage-boundary checkpoint (SURVEY.md §5): the merged canonical k-mer
+    table as .npz — the pipeline is restartable from here, skipping
+    extraction/counting entirely."""
+    np.savez_compressed(
+        path,
+        words=np.asarray(table.words),
+        counts=np.asarray(table.counts),
+        num_unique=np.asarray(table.num_unique),
+        overflow=np.asarray(table.overflow),
+    )
+
+
+def load_table(path: str) -> count_jax.CountTable:
+    with np.load(path) as z:
+        return count_jax.CountTable(
+            words=z["words"],
+            counts=z["counts"],
+            num_unique=z["num_unique"],
+            overflow=z["overflow"],
+        )
+
+
 def assemble_tpu(
     reads: np.ndarray,
     cfg: AssemblyConfig,
@@ -104,6 +127,9 @@ def assemble_tpu(
     table_capacity: int | None = None,
     use_pallas: bool = False,
     device_unitigs: bool = True,
+    metrics: "Metrics | None" = None,
+    checkpoint: str | None = None,
+    resume_from: str | None = None,
 ) -> list[str]:
     """End-to-end single-device assembly: reads -> canonical contigs.
 
@@ -112,11 +138,35 @@ def assemble_tpu(
     the host never touches a per-k-mer dict. False falls back to the
     dict-based host graph (debug/oracle-equivalence path). Device
     compression requires odd k.
+
+    checkpoint/resume_from: stage-boundary .npz checkpoint of the counted
+    k-mer table (SURVEY.md §5 checkpoint/resume).
     """
-    table = count_reads_device(
-        reads, cfg, table_capacity=table_capacity, use_pallas=use_pallas
-    )
-    table = count_jax.filter_table(table, cfg.min_count)
+    from ..utils.metrics import Metrics
+
+    m = metrics or Metrics()
+    wc = reads.shape[1] - cfg.k + 1
+    m.count("reads", reads.shape[0])
+    m.count("kmers", reads.shape[0] * wc)
+    if resume_from is not None:
+        table = load_table(resume_from)
+    else:
+        with m.stage("count"):
+            table = count_reads_device(
+                reads,
+                cfg,
+                table_capacity=table_capacity,
+                use_pallas=use_pallas,
+            )
+            table.counts.block_until_ready()
+        m.count(
+            "count_bytes",
+            reads.size + 2 * reads.shape[0] * wc * table.words.shape[1] * 4,
+        )
+    if checkpoint is not None:
+        save_table(table, checkpoint)
+    with m.stage("filter"):
+        table = count_jax.filter_table(table, cfg.min_count)
     if device_unitigs and cfg.k % 2 == 1:
         from ..host.dbg import spell_device_unitigs
         from ..host.simplify import simplify_unitigs
@@ -126,14 +176,21 @@ def assemble_tpu(
             raise RuntimeError(
                 "k-mer table overflow: rerun with a larger table_capacity"
             )
-        dev = compress_unitigs_device(table, cfg.k)
-        unitigs = spell_device_unitigs(dev, cfg.k)
-        graph = simplify_unitigs(
-            unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
-        )
+        with m.stage("compress"):
+            dev = compress_unitigs_device(table, cfg.k)
+            dev.uid.block_until_ready()
+        with m.stage("spell"):
+            unitigs = spell_device_unitigs(dev, cfg.k)
+        with m.stage("simplify"):
+            graph = simplify_unitigs(
+                unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+            )
     else:
-        counts = table_to_host_counts(table, cfg.k)
-        graph = simplify_counts(
-            counts, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
-        )
-    return emit_contigs(graph)
+        with m.stage("host_graph"):
+            counts = table_to_host_counts(table, cfg.k)
+            graph = simplify_counts(
+                counts, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+            )
+    with m.stage("traverse"):
+        contigs = emit_contigs(graph)
+    return contigs
