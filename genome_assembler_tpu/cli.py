@@ -113,17 +113,22 @@ def cmd_assemble(args) -> int:
         setup()
     t0 = time.perf_counter()
     if args.reads:
-        seqs = read_sequences(args.reads)
-        if not seqs:
-            raise SystemExit(f"no reads found in {args.reads}")
-        lens = {len(s) for s in seqs}
-        if len(lens) == 1:
-            reads: list[str] | np.ndarray = np.stack(
-                [encode_seq(s) for s in seqs]
-            )
+        from .utils.io_native import load_reads
+
+        native = load_reads(args.reads)  # C++ mmap fast path
+        if native is not None:
+            reads: list[str] | np.ndarray = native
+            n_reads = native.shape[0]
         else:
-            reads = seqs  # ragged: dict counting path
-        n_reads = len(seqs)
+            seqs = read_sequences(args.reads)
+            if not seqs:
+                raise SystemExit(f"no reads found in {args.reads}")
+            lens = {len(s) for s in seqs}
+            if len(lens) == 1:
+                reads = np.stack([encode_seq(s) for s in seqs])
+            else:
+                reads = seqs  # ragged: dict counting path
+            n_reads = len(seqs)
     else:
         reads, _ = _simulated_reads(args)
         n_reads = reads.shape[0]
