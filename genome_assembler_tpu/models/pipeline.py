@@ -15,6 +15,9 @@ read sets). The multi-host version of this driver lives in
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 
 from ..host.dbg import counts_to_dict
@@ -25,8 +28,36 @@ from ..ops.kmer_jax import extract_canonical_flat
 from ..utils.config import AssemblyConfig
 from ..utils.dna import key_words
 
+import os
+
 # Above this many windows, fall back to batched streaming + table merges.
-SINGLE_SHOT_WINDOWS = 1 << 26
+# Single-shot (one fused extract+sort+count dispatch) is substantially
+# faster per key than merge-based streaming, so the threshold is set by
+# HBM headroom, not preference; override via GA_SINGLE_SHOT_WINDOWS.
+SINGLE_SHOT_WINDOWS = int(os.environ.get("GA_SINGLE_SHOT_WINDOWS", 1 << 27))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def _count_batch(reads, k, n_valid, use_pallas=False):
+    """One dispatch: extract + canonicalize + sort-count a read batch.
+
+    Fusing the stages into a single jit call matters doubly here: XLA fuses
+    the extraction elementwise graph into the sort's input, and the slow
+    per-dispatch link to the device (tens of ms on the tunneled `axon`
+    platform) is paid once per batch instead of once per stage.
+    """
+    if use_pallas:
+        from ..ops.kmer_pallas import extract_canonical_flat_pallas
+
+        keys, _ = extract_canonical_flat_pallas(reads, k, n_valid)
+    else:
+        keys, _ = extract_canonical_flat(reads, k, n_valid)
+    return count_jax.count_keys(keys)
+
+
+@jax.jit
+def _merge_step(table, batch_table):
+    return count_jax.merge_tables(table, batch_table)
 
 
 def count_reads_device(
@@ -47,8 +78,6 @@ def count_reads_device(
     total_windows = b * wpr
 
     if use_pallas:
-        from ..ops.kmer_pallas import extract_canonical_flat_pallas as extract
-
         # Pallas grid tiles are 256 read rows; pad the batch and mask the
         # padding rows via n_valid (they emit the sentinel key).
         tile = 256
@@ -58,12 +87,9 @@ def count_reads_device(
                 [reads, np.zeros((padded_b - b, length), dtype=np.uint8)],
                 axis=0,
             )
-    else:
-        extract = extract_canonical_flat
 
     if table_capacity is None and total_windows <= SINGLE_SHOT_WINDOWS:
-        keys, _ = extract(reads, cfg.k, np.int32(b))
-        return count_jax.count_keys(keys)
+        return _count_batch(reads, cfg.k, np.int32(b), use_pallas)
 
     capacity = table_capacity or total_windows
     batch = cfg.batch_reads
@@ -76,9 +102,10 @@ def count_reads_device(
     table = count_jax.empty_table(capacity, key_words(cfg.k))
     for start in range(0, padded, batch):
         chunk = reads[start : start + batch]
-        n_valid = np.int32(min(b - start, batch))
-        keys, _ = extract(chunk, cfg.k, n_valid)
-        table = count_jax.merge_tables(table, count_jax.count_keys(keys))
+        n_valid = np.int32(min(max(b - start, 0), batch))
+        table = _merge_step(
+            table, _count_batch(chunk, cfg.k, n_valid, use_pallas)
+        )
     return table
 
 
