@@ -145,6 +145,16 @@ def cmd_assemble(args) -> int:
     if args.backend == "oracle":
         contigs = assemble_oracle(reads, cfg)
         metrics = None
+    elif args.backend == "dist":
+        from .parallel.mesh import build_mesh
+        from .parallel.pipeline import assemble_distributed
+
+        if not isinstance(reads, np.ndarray):
+            raise SystemExit("--backend dist requires uniform-length reads")
+        metrics = None
+        contigs = assemble_distributed(
+            reads, cfg, build_mesh(args.devices)
+        )
     else:  # tpu
         from .models.pipeline import assemble_tpu
         from .utils.metrics import Metrics
@@ -193,7 +203,15 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--min-count", type=int, default=1)
     pa.add_argument("--tip-len", type=int, default=None)
     pa.add_argument("--bubble-len", type=int, default=None)
-    pa.add_argument("--backend", choices=["oracle", "tpu"], default="oracle")
+    pa.add_argument(
+        "--backend",
+        choices=["oracle", "tpu", "dist"],
+        default="oracle",
+        help="oracle = reference-equivalent host; tpu = single device; "
+        "dist = sharded over all devices (or --devices)",
+    )
+    pa.add_argument("--devices", type=int, default=None,
+                    help="mesh size for --backend dist (default: all)")
     pa.add_argument("--out", default=None, help="contigs FASTA (default stdout)")
     pa.add_argument("--metrics-out", default=None,
                     help="write per-stage metrics JSON here")

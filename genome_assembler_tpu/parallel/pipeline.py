@@ -54,8 +54,12 @@ def _route_to_buckets(
 ):
     """Pack keys into a [num_buckets, bucket_cap, W] send buffer.
 
-    Keys are sorted by (invalid, bucket, key words); each bucket's run is
-    scattered into its fixed-capacity row. Returns (send_buffer, overflow).
+    Scatter-free (TPU scatters serialize): keys sort by (invalid, bucket,
+    key words) so each bucket is a contiguous run; bucket boundaries come
+    from binary search over the sorted bucket column, and the send buffer
+    is a pure *gather* — slot (b, j) pulls sorted lane starts[b] + j, or
+    the sentinel when j exceeds the bucket's run.
+    Returns (send_buffer, overflow).
     """
     n, w = keys.shape
     bucket = (mix_words(keys) % jnp.uint32(num_buckets)).astype(jnp.uint32)
@@ -66,16 +70,20 @@ def _route_to_buckets(
     keys_sorted = jnp.stack(out[2 : 2 + w], axis=1)
     valid_sorted = out[0] == 0
 
-    per_bucket = jnp.zeros(num_buckets, dtype=jnp.int32).at[bucket_sorted].add(
-        valid_sorted.astype(jnp.int32), mode="drop"
-    )
-    starts = jnp.cumsum(per_bucket) - per_bucket  # exclusive prefix sum
-    pos = jnp.arange(n, dtype=jnp.int32) - starts[bucket_sorted]
-    dest = bucket_sorted.astype(jnp.int32) * bucket_cap + pos
-    oob = (~valid_sorted) | (pos >= bucket_cap)
-    dest = jnp.where(oob, num_buckets * bucket_cap, dest)  # dropped by mode
-    send = jnp.full((num_buckets * bucket_cap, w), SENTINEL, dtype=jnp.uint32)
-    send = send.at[dest].set(keys_sorted, mode="drop")
+    # valid lanes sort first; among them buckets ascend -> searchsorted
+    # over (bucket with invalid pinned above any bucket id)
+    bucket_or_inf = jnp.where(valid_sorted, bucket_sorted, jnp.uint32(num_buckets))
+    bucket_ids = jnp.arange(num_buckets, dtype=jnp.uint32)
+    starts = jnp.searchsorted(bucket_or_inf, bucket_ids, side="left")
+    ends = jnp.searchsorted(bucket_or_inf, bucket_ids, side="right")
+    per_bucket = (ends - starts).astype(jnp.int32)
+
+    slot = jnp.arange(bucket_cap, dtype=jnp.int32)
+    src = starts.astype(jnp.int32)[:, None] + slot[None, :]  # [D, cap]
+    in_run = slot[None, :] < per_bucket[:, None]
+    src = jnp.clip(src, 0, n - 1)
+    send = keys_sorted[src.reshape(-1)]  # gather [D*cap, W]
+    send = jnp.where(in_run.reshape(-1, 1), send, SENTINEL)
     overflow = jnp.any(per_bucket > bucket_cap)
     return send.reshape(num_buckets, bucket_cap, w), overflow
 
