@@ -173,13 +173,72 @@ def distributed_count_to_host(
     return merged
 
 
+def distributed_count_table(
+    reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
+    bucket_cap: int | None = None, axis: str = "d",
+) -> "count_jax.CountTable":
+    """Count reads over the mesh; merge shard tables into one CountTable.
+
+    Shards own disjoint hash buckets (not lexicographic ranges), so the
+    gathered table re-sorts once with counts as weights — the
+    reduce-scatter-then-gather step of the north-star design, sized by the
+    genome (unique k-mers), not the read stream.
+    """
+    d = mesh.shape[axis]
+    b, length = reads.shape
+    per_dev = -(-b // d)
+    padded = per_dev * d
+    if padded != b:
+        reads = np.concatenate(
+            [reads, np.zeros((padded - b, length), dtype=np.uint8)], axis=0
+        )
+    n_valid = np.clip(b - per_dev * np.arange(d), 0, per_dev).astype(np.int32)
+    windows = per_dev * (length - cfg.k + 1)
+    if bucket_cap is None:
+        bucket_cap = int(windows / d * 1.5) + 64
+    step = make_distributed_count(
+        mesh, cfg.k, per_dev, length, bucket_cap, axis
+    )
+    sharding = NamedSharding(mesh, P(axis, None, None))
+    reads_dev = jax.device_put(reads.reshape(d, per_dev, length), sharding)
+    words, counts, num_unique, overflow = step(reads_dev, n_valid)
+    if bool(overflow):
+        raise RuntimeError(
+            "bucket overflow during all-to-all routing; increase bucket_cap"
+        )
+    # Gather shard tables and re-count with multiplicity weights: shard
+    # keys are disjoint, so this is a pure re-sort into global order.
+    words_h = np.ascontiguousarray(words)
+    counts_h = np.ascontiguousarray(counts)
+    return count_jax.count_keys(words_h, counts_h)
+
+
 def assemble_distributed(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh | None = None
 ) -> list[str]:
-    """End-to-end multi-device assembly: reads -> canonical contigs."""
+    """End-to-end multi-device assembly: reads -> canonical contigs.
+
+    Counting/filtering shards across the mesh; the surviving genome-sized
+    table compresses on a single device by pointer jumping, and only the
+    branchy residue is stitched on host 0 (SURVEY.md §7 M5 + north star).
+    Even k falls back to the host-dict graph.
+    """
     from .mesh import build_mesh
 
     mesh = mesh or build_mesh()
+    if cfg.k % 2 == 1:
+        from ..host.dbg import spell_device_unitigs
+        from ..host.simplify import simplify_unitigs
+        from ..ops.unitig_jax import compress_unitigs_device
+
+        table = distributed_count_table(reads, cfg, mesh)
+        table = count_jax.filter_table(table, cfg.min_count)
+        dev = compress_unitigs_device(table, cfg.k)
+        unitigs = spell_device_unitigs(dev, cfg.k)
+        graph = simplify_unitigs(
+            unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+        )
+        return emit_contigs(graph)
     counts = distributed_count_to_host(reads, cfg, mesh)
     kept = {km: c for km, c in counts.items() if c >= cfg.min_count}
     graph = simplify_counts(
