@@ -162,16 +162,30 @@ def cmd_assemble(args) -> int:
         if not isinstance(reads, np.ndarray):
             raise SystemExit("--backend tpu requires uniform-length reads")
         metrics = Metrics()
-        contigs = assemble_tpu(
+        result = assemble_tpu(
             reads,
             cfg,
             metrics=metrics,
             checkpoint=args.checkpoint,
             resume_from=args.resume_from,
+            use_pallas=args.pallas,
+            return_graph=bool(args.gfa),
         )
+        if args.gfa:
+            from .host.stats import write_gfa
+
+            contigs, graph = result
+            with open(args.gfa, "w") as fh:
+                write_gfa(graph, fh)
+        else:
+            contigs = result
     dt = time.perf_counter() - t0
     if args.metrics_out and metrics is not None:
         metrics.dump(args.metrics_out)
+    if args.stats:
+        from .host.stats import stats_json
+
+        print(stats_json(contigs), file=sys.stderr)
 
     out = open(args.out, "w") if args.out else sys.stdout
     write_fasta(contigs, out)
@@ -215,6 +229,13 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--out", default=None, help="contigs FASTA (default stdout)")
     pa.add_argument("--metrics-out", default=None,
                     help="write per-stage metrics JSON here")
+    pa.add_argument("--stats", action="store_true",
+                    help="print contig summary stats (N50 etc.) to stderr")
+    pa.add_argument("--gfa", default=None,
+                    help="write the simplified unitig graph as GFA 1.0 "
+                    "(tpu backend only)")
+    pa.add_argument("--pallas", action="store_true",
+                    help="use the Pallas extraction kernel (tpu backend)")
     pa.add_argument("--checkpoint", default=None,
                     help="save the counted k-mer table (.npz) here")
     pa.add_argument("--resume-from", default=None,

@@ -157,7 +157,8 @@ def assemble_tpu(
     metrics: "Metrics | None" = None,
     checkpoint: str | None = None,
     resume_from: str | None = None,
-) -> list[str]:
+    return_graph: bool = False,
+) -> list[str] | tuple[list[str], "object"]:
     """End-to-end single-device assembly: reads -> canonical contigs.
 
     device_unitigs=True (default): compress non-branching chains on device
@@ -220,4 +221,6 @@ def assemble_tpu(
             )
     with m.stage("traverse"):
         contigs = emit_contigs(graph)
+    if return_graph:
+        return contigs, graph
     return contigs

@@ -73,18 +73,24 @@ def _kernel(n_valid_ref, reads_ref, *out_refs, k: int, w: int, tb: int):
         out_refs[i][:, :] = jnp.where(invalid, _SENT, canon)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_rows", "interpret")
+)
 def extract_canonical_planes_pallas(
     reads: jax.Array,
     k: int,
     n_valid: jax.Array | None = None,
     tile_rows: int = 256,
+    interpret: bool | None = None,
 ) -> tuple[jax.Array, ...]:
     """[B, L] uint8 reads -> W planes of [B, L-k+1] uint32 canonical keys.
 
     B must be a multiple of tile_rows (wrappers pad; padding rows emit the
-    sentinel via n_valid).
+    sentinel via n_valid). interpret=None auto-selects the Pallas
+    interpreter off-TPU (CPU tests/debug) and the compiled kernel on TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, length = reads.shape
     if b % tile_rows:
         raise ValueError(f"batch {b} not a multiple of tile_rows {tile_rows}")
@@ -120,6 +126,7 @@ def extract_canonical_planes_pallas(
         out_shape=tuple(
             jax.ShapeDtypeStruct((b, wc), jnp.uint32) for _ in range(w)
         ),
+        interpret=interpret,
     )(n_valid, reads)
     return out
 
