@@ -39,8 +39,10 @@ def main() -> int:
     from genome_assembler_tpu.utils.dna import key_words
     from genome_assembler_tpu.utils.simulate import simulate_genome, simulate_reads
 
-    genome_len = int(os.environ.get("GA_BENCH_GENOME", 2_000_000))
-    coverage = float(os.environ.get("GA_BENCH_COVERAGE", 40))
+    # ~17.5M windows: large enough for steady-state throughput, small
+    # enough that the axon backend's size-scaled compile stays bounded.
+    genome_len = int(os.environ.get("GA_BENCH_GENOME", 1_000_000))
+    coverage = float(os.environ.get("GA_BENCH_COVERAGE", 25))
     k = int(os.environ.get("GA_BENCH_K", 31))
     reps = int(os.environ.get("GA_BENCH_REPS", 3))
     read_len = 100

@@ -74,9 +74,25 @@ def _run_single(
         error_rate=error_rate,
     )
     cfg = AssemblyConfig(k=k, min_count=min_count, read_len=100)
+    # Streaming capacity for beyond-single-shot runs: unique k-mers are
+    # bounded by the genome plus error-induced novel k-mers.
+    from .pipeline import SINGLE_SHOT_WINDOWS
+
+    total_windows = rs.num_reads * (100 - k + 1)
+    if total_windows <= SINGLE_SHOT_WINDOWS:
+        capacity = None
+    else:
+        err_kmers = int(total_windows * min(1.0, error_rate * k) * 1.2)
+        capacity = int(2.5 * genome_len) + err_kmers + 4096
     m = Metrics()
     t0 = time.perf_counter()
-    contigs = assemble_tpu(rs.codes, cfg, metrics=m, use_pallas=use_pallas)
+    contigs = assemble_tpu(
+        rs.codes,
+        cfg,
+        metrics=m,
+        use_pallas=use_pallas,
+        table_capacity=capacity,
+    )
     wall = time.perf_counter() - t0
 
     genome_str = decode_seq(genome)

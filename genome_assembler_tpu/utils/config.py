@@ -41,7 +41,7 @@ class AssemblyConfig:
     tip_len: int | None = None
     bubble_len: int | None = None
     read_len: int = 100
-    batch_reads: int = 4096
+    batch_reads: int = 262_144
     mesh_shape: tuple[tuple[str, int], ...] = (("d", 1),)
 
     def __post_init__(self) -> None:
