@@ -109,4 +109,18 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as e:  # always emit one parseable line for the driver
+        print(
+            json.dumps(
+                {
+                    "metric": "kmer_count_throughput",
+                    "value": 0,
+                    "unit": "kmers/s",
+                    "vs_baseline": 0,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+        )
+        sys.exit(1)

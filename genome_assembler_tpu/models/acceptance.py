@@ -205,6 +205,9 @@ RUNNERS: dict[int, Callable[[], AcceptResult]] = {
 
 
 def run(config_ids: list[int]) -> list[AcceptResult]:
+    from ..utils.jaxenv import setup
+
+    setup()  # honor GA_PLATFORM; enable the persistent compile cache
     results = []
     for cid in config_ids:
         results.append(RUNNERS[cid]())

@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..host.dbg import counts_to_dict
@@ -37,14 +38,20 @@ import os
 SINGLE_SHOT_WINDOWS = int(os.environ.get("GA_SINGLE_SHOT_WINDOWS", 1 << 27))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
-def _count_batch(reads, k, n_valid, use_pallas=False):
+@functools.partial(
+    jax.jit, static_argnames=("k", "use_pallas", "out_cap")
+)
+def _count_batch(reads, k, n_valid, use_pallas=False, out_cap=None):
     """One dispatch: extract + canonicalize + sort-count a read batch.
 
     Fusing the stages into a single jit call matters doubly here: XLA fuses
     the extraction elementwise graph into the sort's input, and the slow
     per-dispatch link to the device (tens of ms on the tunneled `axon`
     platform) is paid once per batch instead of once per stage.
+
+    out_cap truncates the (compact-front) result table so streaming merges
+    move table-capacity rows instead of window-count rows; truncation
+    overflow is flagged, not silent.
     """
     if use_pallas:
         from ..ops.kmer_pallas import extract_canonical_flat_pallas
@@ -52,12 +59,30 @@ def _count_batch(reads, k, n_valid, use_pallas=False):
         keys, _ = extract_canonical_flat_pallas(reads, k, n_valid)
     else:
         keys, _ = extract_canonical_flat(reads, k, n_valid)
-    return count_jax.count_keys(keys)
+    table = count_jax.count_keys(keys)
+    if out_cap is not None and out_cap < table.words.shape[0]:
+        table = count_jax.CountTable(
+            words=table.words[:out_cap],
+            counts=table.counts[:out_cap],
+            num_unique=jnp.minimum(table.num_unique, out_cap),
+            overflow=table.overflow | (table.num_unique > out_cap),
+        )
+    return table
 
 
 @jax.jit
 def _merge_step(table, batch_table):
     return count_jax.merge_tables(table, batch_table)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "use_pallas", "out_cap"), donate_argnums=(0,)
+)
+def _stream_step(table, reads, k, n_valid, use_pallas=False, out_cap=None):
+    """Fused streaming step: count one batch and merge into the running
+    table in a single dispatch (donating the old table's buffers)."""
+    batch = _count_batch.__wrapped__(reads, k, n_valid, use_pallas, out_cap)
+    return count_jax.merge_tables(table, batch)
 
 
 def count_reads_device(
@@ -103,8 +128,8 @@ def count_reads_device(
     for start in range(0, padded, batch):
         chunk = reads[start : start + batch]
         n_valid = np.int32(min(max(b - start, 0), batch))
-        table = _merge_step(
-            table, _count_batch(chunk, cfg.k, n_valid, use_pallas)
+        table = _stream_step(
+            table, chunk, cfg.k, n_valid, use_pallas, out_cap=capacity
         )
     return table
 
