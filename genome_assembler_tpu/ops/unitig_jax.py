@@ -85,69 +85,101 @@ def _doubling(prev: jax.Array, steps: int):
     return jax.lax.fori_loop(0, steps, body, (anc, dist, mn))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def compress_unitigs_device(table: CountTable, k: int) -> DeviceUnitigs:
-    """Filtered canonical CountTable -> unitig chain assignment (see module).
+def _eq_rows(a: jax.Array, b: jax.Array) -> jax.Array:
+    eq = a[:, 0] == b[:, 0]
+    for i in range(1, a.shape[1]):
+        eq &= a[:, i] == b[:, i]
+    return eq
 
-    Requires odd k (no palindromic k-mers, so the both-strand edge set has
-    exactly two distinct directed edges per canonical k-mer).
-    """
-    if k % 2 == 0:
-        raise ValueError("device unitig compression requires odd k")
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _build_edges(table: CountTable, k: int):
+    """Both-strand sorted edge table: (edge_words [2C, W], covs, valid)."""
     c, w = table.words.shape
     lane = jnp.arange(c, dtype=jnp.int32)
     is_real = lane < table.num_unique
-
     rc = revcomp_words(table.words, k)
     rc = jnp.where(is_real[:, None], rc, SENTINEL)
     edge_words = jnp.concatenate([table.words, rc], axis=0)
     covs = jnp.concatenate([table.counts, table.counts], axis=0)
     covs = jnp.where(jnp.concatenate([is_real, is_real]), covs, 0)
-
     edge_words, covs = sort_by_words(edge_words, covs)
-    e = 2 * c
-    ids = jnp.arange(e, dtype=jnp.int32)
-    valid = ~jnp.all(edge_words == SENTINEL, axis=1)
-    n_edges = jnp.sum(valid.astype(jnp.int32))
+    valid = ~_eq_rows(edge_words, jnp.broadcast_to(
+        jnp.full((1, w), SENTINEL, jnp.uint32), edge_words.shape
+    ))
+    return edge_words, covs, valid
 
-    pre = prefix_node(edge_words, k)   # sorted (prefix of sort key)
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _link_successors(edge_words: jax.Array, valid: jax.Array, k: int):
+    """prev[e] = unique chain predecessor edge id, or -1 (see module doc).
+
+    Equal-range sizes come from one lower-bound search plus neighbor
+    compares (outdeg(n)==1 iff the run at lower_bound(n) has length 1),
+    halving the binary-search passes.
+    """
+    e, w = edge_words.shape
+    ids = jnp.arange(e, dtype=jnp.int32)
+    pre = prefix_node(edge_words, k)  # sorted: prefix of the sort key
     suf = suffix_node(edge_words, k)
     # suffix_node(sentinel) would alias the all-T node key and corrupt
     # degree counts; pin invalid lanes to the sentinel (> any valid node).
     suf = jnp.where(valid[:, None], suf, SENTINEL)
 
-    # outdeg range of node suf(e) in the prefix-sorted edge table
+    def run_is_one(sorted_keys, lo, q):
+        """length of the equal run of q starting at lo is exactly 1."""
+        first = sorted_keys[jnp.clip(lo, 0, e - 1)]
+        second = sorted_keys[jnp.clip(lo + 1, 0, e - 1)]
+        hit = (lo < e) & _eq_rows(first, q)
+        more = (lo + 1 < e) & _eq_rows(second, q)
+        return hit & ~more
+
     lo = searchsorted_words(pre, suf, side="left")
-    hi = searchsorted_words(pre, suf, side="right")
-    # clip: sentinel edges query garbage; their links are masked below
-    outdeg = hi - lo
-    # indeg of node suf(e): count among sorted suffix keys
+    out_one = run_is_one(pre, lo, suf)
     suf_sorted = sort_by_words(suf)[0]
     slo = searchsorted_words(suf_sorted, suf, side="left")
-    shi = searchsorted_words(suf_sorted, suf, side="right")
-    indeg = shi - slo
+    in_one = run_is_one(suf_sorted, slo, suf)
 
-    chain = valid & (outdeg == 1) & (indeg == 1)
-    succ = jnp.where(chain, lo, e)  # e == out-of-bounds drop
-    # invert: prev[succ[e]] = e
-    prev = jnp.full(e, -1, dtype=jnp.int32).at[succ].set(ids, mode="drop")
+    chain = valid & out_one & in_one
+    succ = jnp.where(chain, lo, e)  # e == out-of-bounds, dropped below
+    return jnp.full(e, -1, dtype=jnp.int32).at[succ].set(ids, mode="drop")
 
+
+@jax.jit
+def _resolve_chains(prev: jax.Array, valid: jax.Array):
+    """Chain heads/offsets by two pointer-doubling passes (cycles broken
+    at their minimum edge id)."""
+    e = prev.shape[0]
+    ids = jnp.arange(e, dtype=jnp.int32)
     steps = max(1, int(np.ceil(np.log2(max(e, 2)))) + 1)
     anc, _, mn = _doubling(prev, steps)
-    # cycle iff the converged ancestor still has a predecessor
     in_cycle = valid & (prev[anc] >= 0)
-    # break each cycle at its minimum edge id
     prev2 = jnp.where(in_cycle & (ids == mn), -1, prev)
     anc2, dist2, _ = _doubling(prev2, steps)
-
-    heads = valid & (prev2[ids] == -1)
+    heads = valid & (prev2 == -1)
     head_rank = jnp.cumsum(heads.astype(jnp.int32)) - 1
     uid = jnp.where(valid, head_rank[anc2], -1)
+    return uid, dist2, jnp.sum(heads.astype(jnp.int32))
+
+
+def compress_unitigs_device(table: CountTable, k: int) -> DeviceUnitigs:
+    """Filtered canonical CountTable -> unitig chain assignment (see module).
+
+    Requires odd k (no palindromic k-mers, so the both-strand edge set has
+    exactly two distinct directed edges per canonical k-mer). Stages run as
+    separate dispatches: each sub-program compiles in bounded time on the
+    axon backend and faults isolate per stage.
+    """
+    if k % 2 == 0:
+        raise ValueError("device unitig compression requires odd k")
+    edge_words, covs, valid = _build_edges(table, k)
+    prev = _link_successors(edge_words, valid, k)
+    uid, pos, num = _resolve_chains(prev, valid)
     return DeviceUnitigs(
         edge_words=edge_words,
         cov=covs,
         uid=uid,
-        pos=dist2,
+        pos=pos,
         valid=valid,
-        num_unitigs=jnp.sum(heads.astype(jnp.int32)),
+        num_unitigs=num,
     )
