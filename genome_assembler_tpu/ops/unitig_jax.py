@@ -61,28 +61,36 @@ class DeviceUnitigs(NamedTuple):
     num_unitigs: jax.Array
 
 
-def _doubling(prev: jax.Array, steps: int):
-    """Pointer doubling: returns (ancestor, distance, min_id_on_path).
+def _doubling(prev: jax.Array, steps: int, track: str = "dist"):
+    """Pointer doubling over predecessor pointers.
 
     prev[e] = predecessor edge id or -1. Heads (prev == -1) self-loop, so
-    ancestor converges to the chain head and distance to the chain offset.
-    For pure cycles the ancestor keeps rotating; min_id identifies the
-    deterministic break point.
+    the ancestor converges to the chain head. track selects the second
+    quantity carried along (each costs one extra gather per round):
+      "dist" -> distance from the head (chain offset);
+      "min"  -> minimum edge id on the ancestor path (cycle break point —
+                for pure cycles the ancestor keeps rotating and the min
+                covers the whole cycle).
+    Returns (ancestor, tracked).
     """
     n = prev.shape[0]
     ids = jnp.arange(n, dtype=jnp.int32)
     anc = jnp.where(prev >= 0, prev, ids)
-    dist = (prev >= 0).astype(jnp.int32)
-    mn = jnp.minimum(ids, anc)
+    if track == "dist":
+        aux = (prev >= 0).astype(jnp.int32)
 
-    def body(_, state):
-        anc, dist, mn = state
-        anc2 = anc[anc]
-        dist2 = dist + dist[anc]
-        mn2 = jnp.minimum(mn, mn[anc])
-        return anc2, dist2, mn2
+        def body(_, state):
+            anc, aux = state
+            return anc[anc], aux + aux[anc]
 
-    return jax.lax.fori_loop(0, steps, body, (anc, dist, mn))
+    else:
+        aux = jnp.minimum(ids, anc)
+
+        def body(_, state):
+            anc, aux = state
+            return anc[anc], jnp.minimum(aux, aux[anc])
+
+    return jax.lax.fori_loop(0, steps, body, (anc, aux))
 
 
 def _eq_rows(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -152,10 +160,10 @@ def _resolve_chains(prev: jax.Array, valid: jax.Array):
     e = prev.shape[0]
     ids = jnp.arange(e, dtype=jnp.int32)
     steps = max(1, int(np.ceil(np.log2(max(e, 2)))) + 1)
-    anc, _, mn = _doubling(prev, steps)
+    anc, mn = _doubling(prev, steps, track="min")
     in_cycle = valid & (prev[anc] >= 0)
     prev2 = jnp.where(in_cycle & (ids == mn), -1, prev)
-    anc2, dist2, _ = _doubling(prev2, steps)
+    anc2, dist2 = _doubling(prev2, steps, track="dist")
     heads = valid & (prev2 == -1)
     head_rank = jnp.cumsum(heads.astype(jnp.int32)) - 1
     uid = jnp.where(valid, head_rank[anc2], -1)
