@@ -168,35 +168,51 @@ def unitig_kmers(u: Unitig) -> list[str]:
     return [u.seq[i : i + u.k] for i in range(u.edges)]
 
 
-def spell_device_unitigs(dev, k: int) -> list[Unitig]:
-    """Vectorized spelling of ops.unitig_jax.DeviceUnitigs into host Unitigs.
+def spell_device_unitigs(dev, k: int, u_cap: int | None = None) -> list[Unitig]:
+    """Spell ops.unitig_jax.DeviceUnitigs into host Unitigs.
 
-    Per unitig chain: the head edge's (k-1)-mer prefix, then the last base
-    of every edge in chain order — all scatter-assembled in NumPy, no
-    per-edge Python loop (SURVEY.md §7 M4 host residue).
+    The device reduces the edge table to a compact transfer set
+    (ops.unitig_jax.spell_arrays: the (uid, pos)-sorted base stream plus
+    per-unitig head words / lengths / coverage sums) — the device->host
+    link here runs at ~40 MB/s, so the full edge arrays must never cross
+    it. Host assembly is pure vectorized NumPy (np.repeat segment fills).
+
+    u_cap bounds the per-unitig transfer; on overflow the cap doubles and
+    the (cheap, device-side) reduction reruns.
     """
-    valid = np.asarray(dev.valid)
-    ew = np.asarray(dev.edge_words)[valid]
-    cov = np.asarray(dev.cov)[valid].astype(np.int64)
-    uid = np.asarray(dev.uid)[valid].astype(np.int64)
-    pos = np.asarray(dev.pos)[valid].astype(np.int64)
-    u = int(dev.num_unitigs)
-    w = ew.shape[1]
+    from ..ops.unitig_jax import spell_arrays
 
-    length = np.zeros(u, dtype=np.int64)
-    np.add.at(length, uid, 1)
-    cov_sum = np.zeros(u, dtype=np.int64)
-    np.add.at(cov_sum, uid, cov)
+    e = dev.edge_words.shape[0]
+    w = dev.edge_words.shape[1]
+    cap = min(e, u_cap or (1 << 21))
+    while True:
+        arrs = spell_arrays(dev, cap)
+        if not bool(arrs.overflow):
+            break
+        cap = min(e, cap * 4)
 
-    str_len = (k - 1) + length
+    u = int(arrs.num_unitigs)
+    lengths = np.asarray(arrs.lengths)[:u].astype(np.int64)
+    cov_sum = np.asarray(arrs.cov_sum)[:u].astype(np.int64)
+    head_words = np.asarray(arrs.head_words)[:u]
+    total_body = int(lengths.sum())
+    bases = np.asarray(arrs.bases)[:total_body]
+
+    str_len = (k - 1) + lengths
     offsets = np.zeros(u + 1, dtype=np.int64)
     np.cumsum(str_len, out=offsets[1:])
     buf = np.empty(int(offsets[-1]), dtype=np.uint8)
 
-    buf[offsets[uid] + (k - 1) + pos] = (ew[:, -1] & 3).astype(np.uint8)
-    heads = pos == 0
-    head_words = ew[heads]
-    head_off = offsets[uid[heads]]
+    # bodies: the sorted base stream is the concatenation of unitig bodies
+    body_excl = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    dest = (
+        np.repeat(offsets[:-1] + (k - 1), lengths)
+        + np.arange(total_body, dtype=np.int64)
+        - np.repeat(body_excl, lengths)
+    )
+    buf[dest] = bases
+    # heads: first k-1 bases decoded from each unitig's head edge k-mer
+    head_off = offsets[:-1]
     for j in range(k - 1):
         bitpos = 2 * (k - 1 - j)
         widx = w - 1 - bitpos // 32
@@ -207,8 +223,8 @@ def spell_device_unitigs(dev, k: int) -> list[Unitig]:
     return [
         Unitig(
             seq=raw[offsets[i] : offsets[i + 1]].decode(),
-            cov=cov_sum[i] / length[i],
-            edges=int(length[i]),
+            cov=cov_sum[i] / lengths[i],
+            edges=int(lengths[i]),
             k=k,
         )
         for i in range(u)

@@ -170,6 +170,91 @@ def _resolve_chains(prev: jax.Array, valid: jax.Array):
     return uid, dist2, jnp.sum(heads.astype(jnp.int32))
 
 
+class SpellArrays(NamedTuple):
+    """Compact spelling transfer set (device -> host link is ~40 MB/s here,
+    so the full edge table must not cross it).
+
+    bases:     [E] uint8 — last base of every edge, sorted by (uid, pos):
+               the concatenation of all unitig bodies in unitig order.
+    head_words:[U_cap, W] uint32 — the head edge k-mer of each unitig
+               (its prefix spells the unitig's first k-1 bases).
+    lengths:   [U_cap] int32 edge counts per unitig (0 = padding).
+    cov_sum:   [U_cap] int32 summed edge multiplicities per unitig.
+    num_unitigs: scalar int32.
+    overflow:  scalar bool — num_unitigs exceeded U_cap; caller must retry
+               with a larger cap (checked, never silent).
+    """
+
+    bases: jax.Array
+    head_words: jax.Array
+    lengths: jax.Array
+    cov_sum: jax.Array
+    num_unitigs: jax.Array
+    overflow: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("u_cap",))
+def spell_arrays(dev: DeviceUnitigs, u_cap: int) -> SpellArrays:
+    """Reduce DeviceUnitigs to the compact transfer set (see SpellArrays).
+
+    One sort puts every edge in (uid, pos) order — pos packs its 2-bit last
+    base so a single uint32 operand carries both — with the edge words and
+    coverage as payload; segment scans then produce per-unitig lengths and
+    coverage sums, and a second (tiny-key) sort compacts the per-unitig
+    rows to the front for a static [u_cap] slice.
+    """
+    e, w = dev.edge_words.shape
+    big = jnp.int32(2**30)
+    uid_adj = jnp.where(dev.valid, dev.uid, big).astype(jnp.uint32)
+    packed = (
+        (dev.pos.astype(jnp.uint32) << jnp.uint32(2))
+        | (dev.edge_words[:, -1] & jnp.uint32(3))
+    )
+    operands = (uid_adj, packed, dev.cov) + tuple(
+        dev.edge_words[:, i] for i in range(w)
+    )
+    out = jax.lax.sort(operands, num_keys=2)
+    uid_s, packed_s, cov_s = out[0], out[1], out[2]
+    words_s = jnp.stack(out[3 : 3 + w], axis=1)
+    bases = (packed_s & jnp.uint32(3)).astype(jnp.uint8)
+
+    idx = jnp.arange(e, dtype=jnp.int32)
+    prev_uid = jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, jnp.uint32), uid_s[:-1]])
+    is_start = (uid_s != prev_uid).at[0].set(True) & (uid_s != jnp.uint32(2**30))
+    start_or_inf = jnp.where(is_start | (uid_s == jnp.uint32(2**30)), idx, e)
+    next_start = jnp.concatenate(
+        [jnp.flip(jax.lax.cummin(jnp.flip(start_or_inf)))[1:],
+         jnp.full((1,), e, jnp.int32)]
+    )
+    lengths = jnp.where(is_start, next_start - idx, 0)
+    cs = jnp.cumsum(cov_s)
+    cov_sum = jnp.where(
+        is_start,
+        cs[jnp.clip(next_start - 1, 0, e - 1)] - cs[idx] + cov_s,
+        0,
+    )
+    num = jnp.sum(is_start.astype(jnp.int32))
+
+    # compact per-unitig rows (at start lanes, already in uid order) to the
+    # front: sort by the tiny is_start key, stable in uid order
+    sort2 = jax.lax.sort(
+        ((~is_start).astype(jnp.uint32), uid_s, lengths, cov_sum)
+        + tuple(words_s[:, i] for i in range(w)),
+        num_keys=2,
+    )
+    lengths_c = sort2[2][:u_cap]
+    cov_sum_c = sort2[3][:u_cap]
+    head_words = jnp.stack([sort2[4 + i][:u_cap] for i in range(w)], axis=1)
+    return SpellArrays(
+        bases=bases,
+        head_words=head_words,
+        lengths=lengths_c,
+        cov_sum=cov_sum_c,
+        num_unitigs=num,
+        overflow=num > u_cap,
+    )
+
+
 def compress_unitigs_device(table: CountTable, k: int) -> DeviceUnitigs:
     """Filtered canonical CountTable -> unitig chain assignment (see module).
 
