@@ -54,7 +54,14 @@ def assemble_from_counts(
     counts: dict[str, int], cfg: AssemblyConfig
 ) -> list[str]:
     """Filter + graph + simplify + traverse (shared back half)."""
-    kept = {km: c for km, c in counts.items() if c >= cfg.min_count}
+    min_count = cfg.min_count
+    if min_count == 0:  # auto threshold, same heuristic as the TPU path
+        from .pipeline import auto_min_count
+
+        min_count = auto_min_count(
+            np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        )
+    kept = {km: c for km, c in counts.items() if c >= min_count}
     graph = simplify_counts(
         kept, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
     )

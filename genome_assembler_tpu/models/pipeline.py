@@ -149,6 +149,39 @@ def table_to_host_counts(
     return counts_to_dict(words, counts, k)
 
 
+def auto_min_count(table_or_counts) -> int:
+    """Pick the coverage-filter threshold from the multiplicity histogram.
+
+    Sequencing errors put a spike of unique/low-multiplicity k-mers near 1;
+    true genomic k-mers cluster around the effective coverage. The standard
+    heuristic: threshold at the histogram valley between the error peak and
+    the coverage peak. Falls back to 1 (keep everything) when the histogram
+    is monotonic (error-free data has no valley).
+
+    Accepts a CountTable or a plain array of multiplicities (the oracle
+    passes its dict values so both paths pick identical thresholds).
+    """
+    if isinstance(table_or_counts, count_jax.CountTable):
+        counts = np.asarray(table_or_counts.counts)[
+            : int(table_or_counts.num_unique)
+        ]
+    else:
+        counts = np.asarray(table_or_counts)
+    if counts.size == 0:
+        return 1
+    hist = np.bincount(np.minimum(counts, 1000))
+    if len(hist) < 4:
+        return 1
+    # coverage peak: the strongest bin past multiplicity 2
+    peak = int(np.argmax(hist[3:])) + 3 if len(hist) > 3 else 0
+    if peak <= 2 or hist[peak] < 4:
+        return 1
+    valley = int(np.argmin(hist[1:peak])) + 1
+    if hist[valley] >= hist[peak]:
+        return 1
+    return valley + 1  # drop everything at or below the valley bin
+
+
 def save_table(table: count_jax.CountTable, path: str) -> None:
     """Stage-boundary checkpoint (SURVEY.md §5): the merged canonical k-mer
     table as .npz — the pipeline is restartable from here, skipping
@@ -218,8 +251,9 @@ def assemble_tpu(
         )
     if checkpoint is not None:
         save_table(table, checkpoint)
+    min_count = cfg.min_count or auto_min_count(table)
     with m.stage("filter"):
-        table = count_jax.filter_table(table, cfg.min_count)
+        table = count_jax.filter_table(table, min_count)
     if device_unitigs and cfg.k % 2 == 1:
         from ..host.dbg import spell_device_unitigs
         from ..host.simplify import simplify_unitigs

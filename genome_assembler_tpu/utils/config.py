@@ -20,7 +20,9 @@ class AssemblyConfig:
       k:            k-mer length (edges); nodes are (k-1)-mers. Odd k strongly
                     recommended so no k-mer is its own reverse complement.
       min_count:    drop k-mers whose *canonical* multiplicity is < min_count
-                    (coverage filter; reference C4).
+                    (coverage filter; reference C4). 0 = automatic: pick the
+                    valley of the coverage histogram between the error peak
+                    (multiplicity 1-2) and the true-coverage peak.
       tip_len:      remove dead-end unitig chains spelling <= tip_len bases
                     (reference C6). Default 2k.
       bubble_len:   collapse parallel unitig paths spelling <= bubble_len bases
@@ -49,8 +51,10 @@ class AssemblyConfig:
             raise ValueError(f"k must be in [2, 63], got {self.k}")
         if self.k >= self.read_len:
             raise ValueError(f"k={self.k} must be < read_len={self.read_len}")
-        if self.min_count < 1:
-            raise ValueError(f"min_count must be >= 1, got {self.min_count}")
+        if self.min_count < 0:
+            raise ValueError(
+                f"min_count must be >= 1 (or 0 for auto), got {self.min_count}"
+            )
 
     @property
     def resolved_tip_len(self) -> int:
