@@ -35,9 +35,10 @@ import numpy as np
 from .count_jax import CountTable, sort_by_words
 from .kmer_jax import SENTINEL
 from .words_jax import (
+    build_search_lut,
     prefix_node,
     revcomp_words,
-    searchsorted_words,
+    searchsorted_words_bucketed,
     suffix_node,
 )
 
@@ -119,20 +120,25 @@ def _build_edges(table: CountTable, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _link_successors(edge_words: jax.Array, valid: jax.Array, k: int):
-    """prev[e] = unique chain predecessor edge id, or -1 (see module doc).
-
-    Equal-range sizes come from one lower-bound search plus neighbor
-    compares (outdeg(n)==1 iff the run at lower_bound(n) has length 1),
-    halving the binary-search passes.
-    """
-    e, w = edge_words.shape
-    ids = jnp.arange(e, dtype=jnp.int32)
+def _prep_link(edge_words: jax.Array, valid: jax.Array, k: int):
+    """Node keys + search LUTs for the successor join."""
     pre = prefix_node(edge_words, k)  # sorted: prefix of the sort key
     suf = suffix_node(edge_words, k)
     # suffix_node(sentinel) would alias the all-T node key and corrupt
     # degree counts; pin invalid lanes to the sentinel (> any valid node).
     suf = jnp.where(valid[:, None], suf, SENTINEL)
+    suf_sorted = sort_by_words(suf)[0]
+    pre_lut, pre_max = build_search_lut(pre)
+    suf_lut, suf_max = build_search_lut(suf_sorted)
+    return pre, suf, suf_sorted, pre_lut, suf_lut, pre_max, suf_max
+
+
+@functools.partial(jax.jit, static_argnames=("steps_pre", "steps_suf"))
+def _link_main(
+    valid, pre, suf, suf_sorted, pre_lut, suf_lut, steps_pre, steps_suf
+):
+    e = pre.shape[0]
+    ids = jnp.arange(e, dtype=jnp.int32)
 
     def run_is_one(sorted_keys, lo, q):
         """length of the equal run of q starting at lo is exactly 1."""
@@ -142,10 +148,9 @@ def _link_successors(edge_words: jax.Array, valid: jax.Array, k: int):
         more = (lo + 1 < e) & _eq_rows(second, q)
         return hit & ~more
 
-    lo = searchsorted_words(pre, suf, side="left")
+    lo = searchsorted_words_bucketed(pre, suf, pre_lut, steps_pre)
     out_one = run_is_one(pre, lo, suf)
-    suf_sorted = sort_by_words(suf)[0]
-    slo = searchsorted_words(suf_sorted, suf, side="left")
+    slo = searchsorted_words_bucketed(suf_sorted, suf, suf_lut, steps_suf)
     in_one = run_is_one(suf_sorted, slo, suf)
 
     chain = valid & out_one & in_one
@@ -153,21 +158,79 @@ def _link_successors(edge_words: jax.Array, valid: jax.Array, k: int):
     return jnp.full(e, -1, dtype=jnp.int32).at[succ].set(ids, mode="drop")
 
 
+def _quantized_steps(max_bucket: int) -> int:
+    """Bisection rounds for a bucket of this size, rounded up to x4 to
+    bound the jit-cache variants."""
+    need = int(np.ceil(np.log2(max(max_bucket, 2)))) + 1
+    return min(32, -(-need // 4) * 4)
+
+
+def _link_successors(edge_words: jax.Array, valid: jax.Array, k: int):
+    """prev[e] = unique chain predecessor edge id, or -1 (see module doc).
+
+    Equal-range sizes come from one lower-bound search plus neighbor
+    compares (outdeg(n)==1 iff the run at lower_bound(n) has length 1);
+    the bisection is seeded from a 16-bit-prefix LUT, cutting the gather
+    rounds from log2(E) to log2(max bucket) — two scalar pulls pick the
+    static round counts.
+    """
+    pre, suf, suf_sorted, pre_lut, suf_lut, pre_max, suf_max = _prep_link(
+        edge_words, valid, k
+    )
+    steps_pre = _quantized_steps(int(pre_max))
+    steps_suf = _quantized_steps(int(suf_max))
+    return _link_main(
+        valid, pre, suf, suf_sorted, pre_lut, suf_lut, steps_pre, steps_suf
+    )
+
+
+def _steps_for(e: int) -> int:
+    return max(1, int(np.ceil(np.log2(max(e, 2)))) + 1)
+
+
 @jax.jit
-def _resolve_chains(prev: jax.Array, valid: jax.Array):
-    """Chain heads/offsets by two pointer-doubling passes (cycles broken
-    at their minimum edge id)."""
+def _rank_pass(prev: jax.Array):
+    """One doubling pass: (ancestor, distance, any_cycle).
+
+    In a pure cycle every lane has a predecessor forever, so its distance
+    doubles every round and hits exactly 2^steps; chain distances are
+    bounded by the chain length < 2^steps. One scalar flag therefore
+    detects whether the (rare, circular-genome) cycle-breaking pass is
+    needed at all.
+    """
+    steps = _steps_for(prev.shape[0])
+    anc, dist = _doubling(prev, steps, track="dist")
+    return anc, dist, jnp.any(dist >= (1 << steps))
+
+
+@jax.jit
+def _break_cycles(prev: jax.Array, valid: jax.Array):
+    """Min-id doubling pass; returns prev with each cycle's minimum edge
+    turned into a head."""
     e = prev.shape[0]
     ids = jnp.arange(e, dtype=jnp.int32)
-    steps = max(1, int(np.ceil(np.log2(max(e, 2)))) + 1)
+    steps = _steps_for(e)
     anc, mn = _doubling(prev, steps, track="min")
     in_cycle = valid & (prev[anc] >= 0)
-    prev2 = jnp.where(in_cycle & (ids == mn), -1, prev)
-    anc2, dist2 = _doubling(prev2, steps, track="dist")
-    heads = valid & (prev2 == -1)
+    return jnp.where(in_cycle & (ids == mn), -1, prev)
+
+
+@jax.jit
+def _finalize_chains(prev: jax.Array, anc: jax.Array, dist: jax.Array, valid: jax.Array):
+    heads = valid & (prev == -1)
     head_rank = jnp.cumsum(heads.astype(jnp.int32)) - 1
-    uid = jnp.where(valid, head_rank[anc2], -1)
-    return uid, dist2, jnp.sum(heads.astype(jnp.int32))
+    uid = jnp.where(valid, head_rank[anc], -1)
+    return uid, dist, jnp.sum(heads.astype(jnp.int32))
+
+
+def _resolve_chains(prev: jax.Array, valid: jax.Array):
+    """Chain heads/offsets by pointer doubling; the cycle-breaking pass
+    (circular components only) runs adaptively."""
+    anc, dist, has_cycle = _rank_pass(prev)
+    if bool(has_cycle):
+        prev = _break_cycles(prev, valid)
+        anc, dist, _ = _rank_pass(prev)
+    return _finalize_chains(prev, anc, dist, valid)
 
 
 class SpellArrays(NamedTuple):

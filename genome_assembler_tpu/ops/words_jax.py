@@ -156,3 +156,65 @@ def searchsorted_words(
     steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return lo
+
+
+_LUT_BITS = 16
+
+
+@jax.jit
+def build_search_lut(sorted_words: jax.Array):
+    """Bucket LUT over the top 16 bits of the first word of sorted keys.
+
+    Returns (starts [2^16+1] int32, max_bucket int32). Seeding the
+    bisection range from the LUT cuts the gather rounds from log2(N) to
+    log2(max_bucket) — the dominant cost of the big equal-range joins.
+    """
+    n = sorted_words.shape[0]
+    shift = np.uint32(32 - _LUT_BITS)
+    tops = jnp.arange(1 << _LUT_BITS, dtype=jnp.uint32) << shift
+    starts = jnp.searchsorted(sorted_words[:, 0], tops, side="left")
+    starts = jnp.concatenate(
+        [starts.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
+    )
+    max_bucket = jnp.max(starts[1:] - starts[:-1])
+    return starts, max_bucket
+
+
+@functools.partial(jax.jit, static_argnames=("side", "steps"))
+def searchsorted_words_bucketed(
+    sorted_words: jax.Array,
+    queries: jax.Array,
+    lut_starts: jax.Array,
+    steps: int,
+    side: str = "left",
+) -> jax.Array:
+    """searchsorted_words seeded from a build_search_lut bucket range.
+
+    steps must be >= ceil(log2(max_bucket)) + 1 (the caller reads
+    max_bucket from the LUT build — a scalar pull — and picks steps).
+    """
+    n, w = sorted_words.shape
+    bkt = (queries[:, 0] >> np.uint32(32 - _LUT_BITS)).astype(jnp.int32)
+    lo = lut_starts[bkt]
+    hi = lut_starts[bkt + 1]
+
+    def go_right_of(a, b):
+        less = jnp.zeros(a.shape[0], dtype=bool)
+        undecided = jnp.ones(a.shape[0], dtype=bool)
+        for i in range(w):
+            less = less | (undecided & (a[:, i] < b[:, i]))
+            undecided = undecided & (a[:, i] == b[:, i])
+        return (less | undecided) if side == "right" else less
+
+    def body(_, state):
+        lo, hi = state
+        open_ = lo < hi
+        mid = (lo + hi) >> 1
+        mid_keys = sorted_words[jnp.clip(mid, 0, n - 1)]
+        go_right = go_right_of(mid_keys, queries) & open_
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right | ~open_, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
