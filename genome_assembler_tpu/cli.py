@@ -202,6 +202,8 @@ def cmd_assemble(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ga-tpu", description=__doc__)
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="debug logging (per-stage timings)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ps = sub.add_parser("simulate", help="simulate reads from a genome")
@@ -268,6 +270,13 @@ def cmd_accept(args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.verbose:
+        import logging
+
+        logging.basicConfig(
+            level=logging.DEBUG,
+            format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        )
     try:
         return args.fn(args)
     except (ValueError, RuntimeError, FileNotFoundError) as e:
