@@ -39,9 +39,9 @@ SINGLE_SHOT_WINDOWS = int(os.environ.get("GA_SINGLE_SHOT_WINDOWS", 1 << 27))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas", "out_cap")
+    jax.jit, static_argnames=("k", "use_pallas", "out_cap", "read_len")
 )
-def _count_batch(reads, k, n_valid, use_pallas=False, out_cap=None):
+def _count_batch(reads, k, n_valid, use_pallas=False, out_cap=None, read_len=None):
     """One dispatch: extract + canonicalize + sort-count a read batch.
 
     Fusing the stages into a single jit call matters doubly here: XLA fuses
@@ -52,7 +52,14 @@ def _count_batch(reads, k, n_valid, use_pallas=False, out_cap=None):
     out_cap truncates the (compact-front) result table so streaming merges
     move table-capacity rows instead of window-count rows; truncation
     overflow is flagged, not silent.
+
+    read_len set means ``reads`` arrived 2-bit packed (utils.dna.pack_codes)
+    — a 4x smaller host->device transfer, unpacked here in one VPU pass.
     """
+    if read_len is not None:
+        from ..ops.kmer_jax import unpack_codes
+
+        reads = unpack_codes(reads, read_len)
     if use_pallas:
         from ..ops.kmer_pallas import extract_canonical_flat_pallas
 
@@ -76,12 +83,18 @@ def _merge_step(table, batch_table):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas", "out_cap"), donate_argnums=(0,)
+    jax.jit,
+    static_argnames=("k", "use_pallas", "out_cap", "read_len"),
+    donate_argnums=(0,),
 )
-def _stream_step(table, reads, k, n_valid, use_pallas=False, out_cap=None):
+def _stream_step(
+    table, reads, k, n_valid, use_pallas=False, out_cap=None, read_len=None
+):
     """Fused streaming step: count one batch and merge into the running
     table in a single dispatch (donating the old table's buffers)."""
-    batch = _count_batch.__wrapped__(reads, k, n_valid, use_pallas, out_cap)
+    batch = _count_batch.__wrapped__(
+        reads, k, n_valid, use_pallas, out_cap, read_len
+    )
     return count_jax.merge_tables(table, batch)
 
 
@@ -113,8 +126,13 @@ def count_reads_device(
                 axis=0,
             )
 
+    from ..utils.dna import pack_codes
+
     if table_capacity is None and total_windows <= SINGLE_SHOT_WINDOWS:
-        return _count_batch(reads, cfg.k, np.int32(b), use_pallas)
+        return _count_batch(
+            pack_codes(reads), cfg.k, np.int32(b), use_pallas,
+            read_len=length,
+        )
 
     capacity = table_capacity or total_windows
     batch = cfg.batch_reads
@@ -126,10 +144,11 @@ def count_reads_device(
         )
     table = count_jax.empty_table(capacity, key_words(cfg.k))
     for start in range(0, padded, batch):
-        chunk = reads[start : start + batch]
+        chunk = pack_codes(reads[start : start + batch])
         n_valid = np.int32(min(max(b - start, 0), batch))
         table = _stream_step(
-            table, chunk, cfg.k, n_valid, use_pallas, out_cap=capacity
+            table, chunk, cfg.k, n_valid, use_pallas,
+            out_cap=capacity, read_len=length,
         )
     return table
 

@@ -64,6 +64,17 @@ def lex_min(a: list[jax.Array], b: list[jax.Array]) -> list[jax.Array]:
     return [jnp.where(pick_a, ai, bi) for ai, bi in zip(a, b)]
 
 
+@functools.partial(jax.jit, static_argnames=("read_len",))
+def unpack_codes(packed: jax.Array, read_len: int) -> jax.Array:
+    """[B, ceil(L/4)] packed bytes -> [B, L] 2-bit codes (see
+    utils.dna.pack_codes). One elementwise pass on the VPU."""
+    parts = [
+        (packed >> jnp.uint8(2 * i)) & jnp.uint8(3) for i in range(4)
+    ]
+    codes = jnp.stack(parts, axis=-1).reshape(packed.shape[0], -1)
+    return codes[:, :read_len]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "canonical"))
 def extract_kmers(
     reads: jax.Array, k: int, canonical: bool = True

@@ -66,6 +66,28 @@ def canonical_str(kmer: str) -> str:
     return kmer if kmer <= rc else rc
 
 
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """[B, L] 2-bit codes -> [B, ceil(L/4)] uint8, 4 bases per byte.
+
+    Base j lives in byte j//4 at bit 2*(j%4) (little-endian within the
+    byte). Used to quarter host->device transfer volume; the device
+    unpacks in one elementwise pass (ops.kmer_jax.unpack_codes).
+    """
+    b, length = codes.shape
+    pad = (-length) % 4
+    if pad:
+        codes = np.concatenate(
+            [codes, np.zeros((b, pad), dtype=np.uint8)], axis=1
+        )
+    quads = codes.reshape(b, -1, 4).astype(np.uint8)
+    return (
+        quads[:, :, 0]
+        | (quads[:, :, 1] << 2)
+        | (quads[:, :, 2] << 4)
+        | (quads[:, :, 3] << 6)
+    )
+
+
 def key_words(k: int) -> int:
     """Number of uint32 words per k-mer key.
 
