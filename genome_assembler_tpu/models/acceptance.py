@@ -24,8 +24,6 @@ import time
 from dataclasses import dataclass
 from typing import Callable
 
-import numpy as np
-
 from ..host.traverse import contigs_equal
 from ..utils.config import AssemblyConfig
 from ..utils.dna import decode_seq

@@ -21,8 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.dna import key_words
-
 _U2 = np.uint32(2)
 _U30 = np.uint32(30)
 _MASK_AA = np.uint32(0xAAAAAAAA)  # odd 2-bit lanes

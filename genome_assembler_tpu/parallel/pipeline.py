@@ -20,8 +20,6 @@ residue, per SURVEY.md §7 M4/M5.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
