@@ -69,13 +69,47 @@ def spell_walk(g: UnitigGraph, walk: list[int]) -> str:
     return "".join(parts)
 
 
+def _canonical_kmer_keys(seq: str, k: int) -> "np.ndarray":
+    """Packed canonical k-mer keys of a sequence as a u64-column array."""
+    from ..ops.kmer_ref import _to_u64_cols, extract_canonical_np
+    from ..utils.dna import encode_seq
+
+    codes = encode_seq(seq)[None, :]
+    return _to_u64_cols(extract_canonical_np(codes, k))
+
+
 def emit_contigs(g: UnitigGraph, min_len: int | None = None) -> list[str]:
-    """Walks -> canonical, deduplicated, deterministically ordered contigs."""
+    """Simplified unitigs -> canonical, deduplicated, ordered contigs.
+
+    Contigs are the maximal unambiguous sequences: the simplified unitigs.
+    Stitching through a branching junction would pick an arbitrary pairing
+    of in/out edges (repeats longer than k-1 make the continuation
+    genuinely ambiguous — and the choice differs between a walk and its
+    reverse-complement mirror), so, as in production assemblers, contigs
+    stop at junctions; non-branching runs were already merged by unitig
+    compression, which is exactly the Eulerian path on every clean
+    component (SURVEY.md §3.4 restructuring).
+
+    Strand handling: the unitig set is perfectly strand-symmetric, so
+    canonical-sequence dedupe collapses each reverse-complement twin pair.
+    Circular unitigs (start node == end node) linearize at an arbitrary
+    strand-dependent break; they are re-linearized at the lexicographically
+    least rotation over both strands (Booth) before dedupe.
+    """
+    from ..utils.dna import canonical_cycle
+
     min_len = g.k if min_len is None else min_len
+    overlap = g.k - 1
     seen: set[str] = set()
     contigs: list[str] = []
-    for walk in euler_walks(g):
-        seq = canonical_str(spell_walk(g, walk))
+    for u in g.unitigs:
+        if u.start == u.end and u.edges > 1:
+            # circular: drop the duplicated (k-1)-overlap, canonicalize the
+            # rotation, and re-wrap for a linear representation
+            core = canonical_cycle(u.seq[: len(u.seq) - overlap])
+            seq = core + core[:overlap]
+        else:
+            seq = canonical_str(u.seq)
         if len(seq) >= min_len and seq not in seen:
             seen.add(seq)
             contigs.append(seq)
@@ -92,3 +126,29 @@ def canonicalize_contigs(contigs: list[str]) -> list[str]:
 def contigs_equal(a: list[str], b: list[str]) -> bool:
     """Equality up to reverse complement and contig ordering (BASELINE.md)."""
     return canonicalize_contigs(a) == canonicalize_contigs(b)
+
+
+def kmer_content_equal(contigs: list[str], genome: str, k: int) -> bool:
+    """Contigs spell exactly the genome's canonical k-mer set, once.
+
+    The honest bar when repeats shorter than the genome but longer than
+    k-1 make single-contig reconstruction ambiguous (BASELINE.md CFG 3
+    "repeat-induced branching"): every genome k-mer present, no foreign
+    k-mers, and no k-mer spelled by two contigs (i.e. total length is the
+    genome's plus the k-1 overlap loss per extra contig, up to the repeat
+    multiplicity ambiguity).
+    """
+    import numpy as np
+
+    want = np.unique(_canonical_kmer_keys(genome, k), axis=0)
+    got_parts = [_canonical_kmer_keys(c, k) for c in contigs if len(c) >= k]
+    if not got_parts:
+        return len(want) == 0
+    got_all = np.concatenate(got_parts)
+    got = np.unique(got_all, axis=0)
+    if got.shape != want.shape or not (got == want).all():
+        return False
+    # each k-mer spelled at most ~once beyond repeat multiplicity: total
+    # spelled k-mer instances should not exceed the genome's window count
+    total_windows = sum(len(c) - k + 1 for c in contigs if len(c) >= k)
+    return total_windows <= (len(genome) - k + 1)

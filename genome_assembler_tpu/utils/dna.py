@@ -66,6 +66,38 @@ def canonical_str(kmer: str) -> str:
     return kmer if kmer <= rc else rc
 
 
+def least_rotation(s: str) -> str:
+    """Lexicographically smallest rotation (Booth's algorithm, O(n)).
+
+    Canonical linearization point for circular contigs: a cycle and its
+    reverse complement must map to one representative regardless of where
+    each strand's traversal happened to break the cycle.
+    """
+    doubled = s + s
+    n = len(doubled)
+    f = [-1] * n
+    k = 0
+    for j in range(1, n):
+        sj = doubled[j]
+        i = f[j - k - 1]
+        while i != -1 and sj != doubled[k + i + 1]:
+            if sj < doubled[k + i + 1]:
+                k = j - i - 1
+            i = f[i]
+        if sj != doubled[k + i + 1]:
+            if sj < doubled[k]:
+                k = j
+            f[j - k] = -1
+        else:
+            f[j - k] = i + 1
+    return doubled[k : k + len(s)]
+
+
+def canonical_cycle(core: str) -> str:
+    """Rotation- and strand-invariant representative of a circular sequence."""
+    return min(least_rotation(core), least_rotation(revcomp_str(core)))
+
+
 def pack_codes(codes: np.ndarray) -> np.ndarray:
     """[B, L] 2-bit codes -> [B, ceil(L/4)] uint8, 4 bases per byte.
 
