@@ -31,9 +31,9 @@ from ..host.simplify import simplify_counts
 from ..host.traverse import emit_contigs
 from ..ops import count_jax
 from ..ops.hash import mix_words
-from ..ops.kmer_jax import SENTINEL, extract_kmers
+from ..ops.kmer_jax import SENTINEL, extract_kmers, unpack_codes
 from ..utils.config import AssemblyConfig
-from ..utils.dna import key_words
+from ..utils.dna import key_words, pack_codes
 
 
 def _local_extract(reads: jax.Array, k: int, n_valid: jax.Array):
@@ -100,7 +100,9 @@ def make_distributed_count(
     w = key_words(k)
 
     def local_step(reads, n_valid):
-        keys, valid = _local_extract(reads[0], k, n_valid[0])
+        # reads arrive 2-bit packed (4x smaller host->device transfer)
+        unpacked = unpack_codes(reads[0], read_len)
+        keys, valid = _local_extract(unpacked, k, n_valid[0])
         send, overflow = _route_to_buckets(keys, valid, d, bucket_cap)
         recv = jax.lax.all_to_all(
             send, axis, split_axis=0, concat_axis=0, tiled=False
@@ -155,7 +157,10 @@ def distributed_count_to_host(
         mesh, cfg.k, per_dev, length, bucket_cap, axis
     )
     sharding = NamedSharding(mesh, P(axis, None, None))
-    reads_dev = jax.device_put(reads.reshape(d, per_dev, length), sharding)
+    packed = pack_codes(reads)
+    reads_dev = jax.device_put(
+        packed.reshape(d, per_dev, packed.shape[1]), sharding
+    )
     words, counts, num_unique, overflow = step(reads_dev, n_valid)
     if bool(overflow):
         raise RuntimeError(
@@ -198,7 +203,10 @@ def distributed_count_table(
         mesh, cfg.k, per_dev, length, bucket_cap, axis
     )
     sharding = NamedSharding(mesh, P(axis, None, None))
-    reads_dev = jax.device_put(reads.reshape(d, per_dev, length), sharding)
+    packed = pack_codes(reads)
+    reads_dev = jax.device_put(
+        packed.reshape(d, per_dev, packed.shape[1]), sharding
+    )
     words, counts, num_unique, overflow = step(reads_dev, n_valid)
     if bool(overflow):
         raise RuntimeError(
