@@ -79,6 +79,19 @@ def main() -> int:
     base_s = time.perf_counter() - t0
     base_rate = (n_base_reads * wpr) / base_s
 
+    # End-to-end assembly on the same workload (count + filter + device
+    # unitig compression + host residue) — the full-pipeline rate.
+    from genome_assembler_tpu.models.pipeline import assemble_tpu
+    from genome_assembler_tpu.host.stats import contig_stats
+    from genome_assembler_tpu.host.traverse import contigs_equal
+    from genome_assembler_tpu.utils.dna import decode_seq
+
+    t0 = time.perf_counter()
+    contigs = assemble_tpu(reads, cfg)
+    asm_s = time.perf_counter() - t0
+    stats = contig_stats(contigs)
+    exact = contigs_equal(contigs, [decode_seq(genome)])
+
     # Minimal-traffic HBM model for the roofline fraction: read bytes in +
     # one key-stream write + one sorted read-back (speed-of-light counting).
     w = key_words(k)
@@ -102,6 +115,11 @@ def main() -> int:
             "min_traffic_roofline_frac": round(
                 (min_bytes / best) / hbm_peak, 4
             ),
+            "assemble_s": round(asm_s, 2),
+            "assemble_reads_per_s": round(reads.shape[0] / asm_s, 1),
+            "contigs": stats["contigs"],
+            "n50": stats["n50"],
+            "exact_match": exact,
         },
     }
     print(json.dumps(result))
