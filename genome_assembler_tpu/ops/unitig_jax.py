@@ -121,22 +121,49 @@ def _build_edges(table: CountTable, k: int):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _prep_link(edge_words: jax.Array, valid: jax.Array, k: int):
-    """Node keys + search LUTs for the successor join."""
+    """Node keys + the successor-join search LUT."""
     pre = prefix_node(edge_words, k)  # sorted: prefix of the sort key
     suf = suffix_node(edge_words, k)
     # suffix_node(sentinel) would alias the all-T node key and corrupt
     # degree counts; pin invalid lanes to the sentinel (> any valid node).
     suf = jnp.where(valid[:, None], suf, SENTINEL)
-    suf_sorted = sort_by_words(suf)[0]
     pre_lut, pre_max = build_search_lut(pre)
-    suf_lut, suf_max = build_search_lut(suf_sorted)
-    return pre, suf, suf_sorted, pre_lut, suf_lut, pre_max, suf_max
+    return pre, suf, pre_lut, pre_max
 
 
-@functools.partial(jax.jit, static_argnames=("steps_pre", "steps_suf"))
-def _link_main(
-    valid, pre, suf, suf_sorted, pre_lut, suf_lut, steps_pre, steps_suf
-):
+def _run_lengths_per_lane(keys: jax.Array) -> jax.Array:
+    """For each lane of [E, W] keys: the size of its equal-value group.
+
+    Sort once carrying the lane id, measure runs with scans in the sorted
+    domain, and sort back by lane id — two fast sorts instead of a
+    binary-search join.
+    """
+    e, w = keys.shape
+    ids = jnp.arange(e, dtype=jnp.int32)
+    ops = jax.lax.sort(
+        tuple(keys[:, i] for i in range(w)) + (ids,), num_keys=w
+    )
+    sorted_keys = jnp.stack(ops[:w], axis=1)
+    ids_s = ops[w]
+    idx = jnp.arange(e, dtype=jnp.int32)
+    prev = jnp.concatenate(
+        [jnp.full((1, w), SENTINEL, jnp.uint32), sorted_keys[:-1]], axis=0
+    )
+    is_start = jnp.any(sorted_keys != prev, axis=1).at[0].set(True)
+    start_or_inf = jnp.where(is_start, idx, e)
+    next_start = jnp.concatenate(
+        [jnp.flip(jax.lax.cummin(jnp.flip(start_or_inf)))[1:],
+         jnp.full((1,), e, jnp.int32)]
+    )
+    my_start = jax.lax.cummax(jnp.where(is_start, idx, -1))
+    runlen_sorted = next_start - my_start
+    # restore lane order: single-int-key sort, run length as payload
+    _, runlen = jax.lax.sort((ids_s, runlen_sorted), num_keys=1)
+    return runlen
+
+
+@functools.partial(jax.jit, static_argnames=("steps_pre",))
+def _link_main(valid, pre, suf, pre_lut, steps_pre):
     e = pre.shape[0]
     ids = jnp.arange(e, dtype=jnp.int32)
 
@@ -150,8 +177,7 @@ def _link_main(
 
     lo = searchsorted_words_bucketed(pre, suf, pre_lut, steps_pre)
     out_one = run_is_one(pre, lo, suf)
-    slo = searchsorted_words_bucketed(suf_sorted, suf, suf_lut, steps_suf)
-    in_one = run_is_one(suf_sorted, slo, suf)
+    in_one = _run_lengths_per_lane(suf) == 1
 
     chain = valid & out_one & in_one
     succ = jnp.where(chain, lo, e)  # e == out-of-bounds, dropped below
@@ -168,20 +194,15 @@ def _quantized_steps(max_bucket: int) -> int:
 def _link_successors(edge_words: jax.Array, valid: jax.Array, k: int):
     """prev[e] = unique chain predecessor edge id, or -1 (see module doc).
 
-    Equal-range sizes come from one lower-bound search plus neighbor
-    compares (outdeg(n)==1 iff the run at lower_bound(n) has length 1);
-    the bisection is seeded from a 16-bit-prefix LUT, cutting the gather
-    rounds from log2(E) to log2(max bucket) — two scalar pulls pick the
-    static round counts.
+    The successor lookup is a lower-bound search (outdeg(n)==1 iff the run
+    at lower_bound(n) has length 1) seeded from a 16-bit-prefix LUT — one
+    scalar pull picks the static round count. The indegree test needs only
+    per-lane run lengths of the suffix keys, which two fast sorts + scans
+    compute without any searching.
     """
-    pre, suf, suf_sorted, pre_lut, suf_lut, pre_max, suf_max = _prep_link(
-        edge_words, valid, k
-    )
+    pre, suf, pre_lut, pre_max = _prep_link(edge_words, valid, k)
     steps_pre = _quantized_steps(int(pre_max))
-    steps_suf = _quantized_steps(int(suf_max))
-    return _link_main(
-        valid, pre, suf, suf_sorted, pre_lut, suf_lut, steps_pre, steps_suf
-    )
+    return _link_main(valid, pre, suf, pre_lut, steps_pre)
 
 
 def _steps_for(e: int) -> int:
