@@ -38,6 +38,8 @@ class ReadSet:
     genome: np.ndarray  # [G] uint8 codes, the ground truth
     seed: int
     error_rate: float
+    starts: np.ndarray | None = None  # [B] genome start position per read
+    flipped: np.ndarray | None = None  # [B] True where reverse-complemented
 
     @property
     def num_reads(self) -> int:
@@ -110,6 +112,8 @@ def simulate_reads(
     if both_strands:
         flip = rng.random(len(all_starts)) < 0.5
         reads[flip] = (3 - reads[flip])[:, ::-1]
+    else:
+        flip = np.zeros(len(all_starts), dtype=bool)
 
     if error_rate > 0:
         err_mask = rng.random(reads.shape) < error_rate
@@ -119,7 +123,12 @@ def simulate_reads(
 
     perm = rng.permutation(len(reads))
     return ReadSet(
-        codes=reads[perm], genome=genome, seed=seed, error_rate=error_rate
+        codes=reads[perm],
+        genome=genome,
+        seed=seed,
+        error_rate=error_rate,
+        starts=all_starts[perm],
+        flipped=flip[perm],
     )
 
 
