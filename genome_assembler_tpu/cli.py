@@ -25,9 +25,13 @@ from .utils.simulate import GENOME_PRESETS, preset_genome, simulate_genome, simu
 
 def read_sequences(path: str) -> list[str]:
     """Load reads: FASTA if the first record starts with '>', else one
-    sequence per line (multi-line joining only applies to FASTA records)."""
-    with open(path) as fh:
-        lines = [ln.strip() for ln in fh]
+    sequence per line (multi-line joining only applies to FASTA records).
+    path '-' reads stdin (reference CLI parity: assemble < reads)."""
+    if path == "-":
+        lines = [ln.strip() for ln in sys.stdin]
+    else:
+        with open(path) as fh:
+            lines = [ln.strip() for ln in fh]
     lines = [ln for ln in lines if ln]
     if not lines:
         return []
