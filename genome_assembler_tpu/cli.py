@@ -152,12 +152,13 @@ def cmd_assemble(args) -> int:
     elif args.backend == "dist":
         from .parallel.mesh import build_mesh
         from .parallel.pipeline import assemble_distributed
+        from .utils.metrics import Metrics
 
         if not isinstance(reads, np.ndarray):
             raise SystemExit("--backend dist requires uniform-length reads")
-        metrics = None
+        metrics = Metrics()
         contigs = assemble_distributed(
-            reads, cfg, build_mesh(args.devices)
+            reads, cfg, build_mesh(args.devices), metrics=metrics
         )
     else:  # tpu
         from .models.pipeline import assemble_tpu

@@ -70,6 +70,7 @@ def _run_single(
         read_len=100,
         seed=seed + 1,
         error_rate=error_rate,
+        tile_k=k,
     )
     cfg = AssemblyConfig(k=k, min_count=min_count, read_len=100)
     # Streaming capacity for beyond-single-shot runs: unique k-mers are

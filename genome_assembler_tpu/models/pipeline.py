@@ -134,7 +134,11 @@ def count_reads_device(
             read_len=length,
         )
 
-    capacity = table_capacity or total_windows
+    # Bounded default: unique k-mers are genome-sized, far below the window
+    # count; SINGLE_SHOT_WINDOWS rows comfortably hold any genome this
+    # single-chip path targets, and the overflow flag turns a too-small
+    # table into an actionable error instead of silent truncation.
+    capacity = table_capacity or min(total_windows, SINGLE_SHOT_WINDOWS)
     batch = cfg.batch_reads
     padded = -(-reads.shape[0] // batch) * batch
     if padded != reads.shape[0]:

@@ -117,23 +117,23 @@ def suffix_node(words: jax.Array, k: int) -> jax.Array:
     return jnp.stack(cols, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("side",))
-def searchsorted_words(
-    sorted_words: jax.Array, queries: jax.Array, side: str = "left"
+def _bisect(
+    sorted_words: jax.Array,
+    queries: jax.Array,
+    lo: jax.Array,
+    hi: jax.Array,
+    steps: int,
+    side: str,
 ) -> jax.Array:
-    """Lexicographic binary search: [N, W] sorted keys, [M, W] queries.
+    """Shared lexicographic bisection body over [lo, hi) per query lane.
 
     side='left': first index with key >= query (lower bound);
     side='right': first index with key > query (upper bound).
-    Standard bisection, log2(N) gather rounds, no data-dependent shapes.
+    Fixed ``steps`` gather rounds; converged lanes stop updating.
     """
     n, w = sorted_words.shape
-    m = queries.shape[0]
-    lo = jnp.zeros(m, dtype=jnp.int32)
-    hi = jnp.full(m, n, dtype=jnp.int32)
 
     def go_right_of(a: jax.Array, b: jax.Array) -> jax.Array:
-        """side=left: a < b; side=right: a <= b (lexicographic, [M, W])."""
         less = jnp.zeros(a.shape[0], dtype=bool)
         undecided = jnp.ones(a.shape[0], dtype=bool)
         for i in range(w):
@@ -151,9 +151,29 @@ def searchsorted_words(
         hi = jnp.where(go_right | ~open_, hi, mid)
         return lo, hi
 
-    steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     return lo
+
+
+@functools.partial(jax.jit, static_argnames=("side",))
+def searchsorted_words(
+    sorted_words: jax.Array, queries: jax.Array, side: str = "left"
+) -> jax.Array:
+    """Lexicographic binary search: [N, W] sorted keys, [M, W] queries.
+
+    Full-range bisection, log2(N) gather rounds, no data-dependent shapes.
+    """
+    n, _ = sorted_words.shape
+    m = queries.shape[0]
+    steps = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    return _bisect(
+        sorted_words,
+        queries,
+        jnp.zeros(m, dtype=jnp.int32),
+        jnp.full(m, n, dtype=jnp.int32),
+        steps,
+        side,
+    )
 
 
 _LUT_BITS = 16
@@ -191,28 +211,7 @@ def searchsorted_words_bucketed(
     steps must be >= ceil(log2(max_bucket)) + 1 (the caller reads
     max_bucket from the LUT build — a scalar pull — and picks steps).
     """
-    n, w = sorted_words.shape
     bkt = (queries[:, 0] >> np.uint32(32 - _LUT_BITS)).astype(jnp.int32)
-    lo = lut_starts[bkt]
-    hi = lut_starts[bkt + 1]
-
-    def go_right_of(a, b):
-        less = jnp.zeros(a.shape[0], dtype=bool)
-        undecided = jnp.ones(a.shape[0], dtype=bool)
-        for i in range(w):
-            less = less | (undecided & (a[:, i] < b[:, i]))
-            undecided = undecided & (a[:, i] == b[:, i])
-        return (less | undecided) if side == "right" else less
-
-    def body(_, state):
-        lo, hi = state
-        open_ = lo < hi
-        mid = (lo + hi) >> 1
-        mid_keys = sorted_words[jnp.clip(mid, 0, n - 1)]
-        go_right = go_right_of(mid_keys, queries) & open_
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right | ~open_, hi, mid)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
-    return lo
+    return _bisect(
+        sorted_words, queries, lut_starts[bkt], lut_starts[bkt + 1], steps, side
+    )

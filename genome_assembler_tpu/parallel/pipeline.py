@@ -134,11 +134,16 @@ def make_distributed_count(
     return step
 
 
-def distributed_count_to_host(
-    reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
-    bucket_cap: int | None = None, axis: str = "d",
-) -> dict[str, int]:
-    """Count reads over the mesh; gather the global table as a host dict."""
+def _run_distributed_step(
+    reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh,
+    bucket_cap: int | None, axis: str,
+):
+    """Shared front half of the distributed counters: pad + shard + pack
+    the reads, build/run the jitted step, check routing overflow.
+
+    Returns (words, counts, num_unique) device arrays (see
+    make_distributed_count).
+    """
     d = mesh.shape[axis]
     b, length = reads.shape
     per_dev = -(-b // d)
@@ -152,7 +157,6 @@ def distributed_count_to_host(
     if bucket_cap is None:
         # expected windows/bucket plus generous skew slack
         bucket_cap = int(windows / d * 1.5) + 64
-
     step = make_distributed_count(
         mesh, cfg.k, per_dev, length, bucket_cap, axis
     )
@@ -166,6 +170,18 @@ def distributed_count_to_host(
         raise RuntimeError(
             "bucket overflow during all-to-all routing; increase bucket_cap"
         )
+    return words, counts, num_unique
+
+
+def distributed_count_to_host(
+    reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
+    bucket_cap: int | None = None, axis: str = "d",
+) -> dict[str, int]:
+    """Count reads over the mesh; gather the global table as a host dict."""
+    d = mesh.shape[axis]
+    words, counts, num_unique = _run_distributed_step(
+        reads, cfg, mesh, bucket_cap, axis
+    )
     words = np.asarray(words).reshape(d, -1, key_words(cfg.k))
     counts = np.asarray(counts).reshape(d, -1)
     num_unique = np.asarray(num_unique)
@@ -187,31 +203,9 @@ def distributed_count_table(
     reduce-scatter-then-gather step of the north-star design, sized by the
     genome (unique k-mers), not the read stream.
     """
-    d = mesh.shape[axis]
-    b, length = reads.shape
-    per_dev = -(-b // d)
-    padded = per_dev * d
-    if padded != b:
-        reads = np.concatenate(
-            [reads, np.zeros((padded - b, length), dtype=np.uint8)], axis=0
-        )
-    n_valid = np.clip(b - per_dev * np.arange(d), 0, per_dev).astype(np.int32)
-    windows = per_dev * (length - cfg.k + 1)
-    if bucket_cap is None:
-        bucket_cap = int(windows / d * 1.5) + 64
-    step = make_distributed_count(
-        mesh, cfg.k, per_dev, length, bucket_cap, axis
+    words, counts, _ = _run_distributed_step(
+        reads, cfg, mesh, bucket_cap, axis
     )
-    sharding = NamedSharding(mesh, P(axis, None, None))
-    packed = pack_codes(reads)
-    reads_dev = jax.device_put(
-        packed.reshape(d, per_dev, packed.shape[1]), sharding
-    )
-    words, counts, num_unique, overflow = step(reads_dev, n_valid)
-    if bool(overflow):
-        raise RuntimeError(
-            "bucket overflow during all-to-all routing; increase bucket_cap"
-        )
     # Gather shard tables and re-count with multiplicity weights: shard
     # keys are disjoint, so this is a pure re-sort into global order.
     words_h = np.ascontiguousarray(words)
@@ -220,34 +214,63 @@ def distributed_count_table(
 
 
 def assemble_distributed(
-    reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh | None = None
+    reads: np.ndarray,
+    cfg: AssemblyConfig,
+    mesh: Mesh | None = None,
+    *,
+    metrics=None,
 ) -> list[str]:
     """End-to-end multi-device assembly: reads -> canonical contigs.
 
     Counting/filtering shards across the mesh; the surviving genome-sized
     table compresses on a single device by pointer jumping, and only the
     branchy residue is stitched on host 0 (SURVEY.md §7 M5 + north star).
-    Even k falls back to the host-dict graph.
+    min_count=0 resolves automatically from the multiplicity histogram,
+    exactly as on the single-device and oracle paths. Even k falls back to
+    the host-dict graph.
     """
+    from ..models.pipeline import auto_min_count
+    from ..utils.metrics import Metrics
     from .mesh import build_mesh
 
+    m = metrics or Metrics()
     mesh = mesh or build_mesh()
+    m.count("reads", reads.shape[0])
+    m.count("kmers", reads.shape[0] * (reads.shape[1] - cfg.k + 1))
     if cfg.k % 2 == 1:
         from ..host.dbg import spell_device_unitigs
         from ..host.simplify import simplify_unitigs
         from ..ops.unitig_jax import compress_unitigs_device
 
-        table = distributed_count_table(reads, cfg, mesh)
-        table = count_jax.filter_table(table, cfg.min_count)
-        dev = compress_unitigs_device(table, cfg.k)
-        unitigs = spell_device_unitigs(dev, cfg.k)
-        graph = simplify_unitigs(
-            unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+        with m.stage("count"):
+            table = distributed_count_table(reads, cfg, mesh)
+            table.counts.block_until_ready()
+        min_count = cfg.min_count or auto_min_count(table)
+        with m.stage("filter"):
+            table = count_jax.filter_table(table, min_count)
+        with m.stage("compress"):
+            dev = compress_unitigs_device(table, cfg.k)
+            dev.uid.block_until_ready()
+        with m.stage("spell"):
+            unitigs = spell_device_unitigs(dev, cfg.k)
+        with m.stage("simplify"):
+            graph = simplify_unitigs(
+                unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+            )
+        with m.stage("traverse"):
+            return emit_contigs(graph)
+    with m.stage("count"):
+        counts = distributed_count_to_host(reads, cfg, mesh)
+    min_count = cfg.min_count
+    if min_count == 0:
+        min_count = auto_min_count(
+            np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
         )
+    with m.stage("filter"):
+        kept = {km: c for km, c in counts.items() if c >= min_count}
+    with m.stage("simplify"):
+        graph = simplify_counts(
+            kept, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+        )
+    with m.stage("traverse"):
         return emit_contigs(graph)
-    counts = distributed_count_to_host(reads, cfg, mesh)
-    kept = {km: c for km, c in counts.items() if c >= cfg.min_count}
-    graph = simplify_counts(
-        kept, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
-    )
-    return emit_contigs(graph)

@@ -23,10 +23,11 @@ class AssemblyConfig:
                     (coverage filter; reference C4). 0 = automatic: pick the
                     valley of the coverage histogram between the error peak
                     (multiplicity 1-2) and the true-coverage peak.
-      tip_len:      remove dead-end unitig chains spelling <= tip_len bases
-                    (reference C6). Default 2k.
-      bubble_len:   collapse parallel unitig paths spelling <= bubble_len bases
-                    (reference C7). Default 2k + 1... see resolved default.
+      tip_len:      remove dead-end unitig chains of <= tip_len k-mer edges
+                    (spelling tip_len + k - 1 bases; reference C6).
+                    Default 2k edges.
+      bubble_len:   collapse parallel unitig arms of <= bubble_len k-mer
+                    edges (reference C7). Default 2k edges.
 
     Static-shape capacities (TPU build only):
       read_len:     fixed read length L; every read batch is [B, L] codes.

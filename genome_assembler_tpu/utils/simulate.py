@@ -75,14 +75,18 @@ def simulate_reads(
     error_rate: float = 0.0,
     both_strands: bool = True,
     tile_exactly: bool = True,
+    tile_k: int | None = None,
 ) -> ReadSet:
     """Simulate fixed-length substitution-error reads from ``genome``.
 
     tile_exactly: in addition to uniform-random starts, include one read at
-    every position stride such that each genome base is covered even at modest
-    coverage; guarantees (for error-free input) that every k-mer of the genome
-    appears, which the exact-contig acceptance bar (BASELINE.md CFG 0)
-    requires. Random starts then fill out the coverage distribution.
+    a fixed stride so each genome base is covered even at modest coverage.
+    The default read_len//2 stride guarantees (for error-free input) that
+    every genome k-mer appears for k <= read_len//2 + 1; pass ``tile_k``
+    for larger k and the stride shrinks to read_len - k + 1 so no k-mer
+    start position falls between tiled reads (the exact-contig acceptance
+    bar, BASELINE.md CFG 0). Random starts fill out the coverage
+    distribution.
     """
     genome = np.asarray(genome, dtype=np.uint8)
     g = len(genome)
@@ -93,9 +97,11 @@ def simulate_reads(
     num_reads = int(np.ceil(coverage * g / read_len))
     starts: list[np.ndarray] = []
     if tile_exactly:
-        # Stride < read_len - 1 so consecutive tiled reads overlap by >= k-1
-        # bases for any k < read_len: no genome k-mer is missed.
+        # Consecutive tiled reads at stride s cover every k-mer start
+        # position iff s <= read_len - k + 1.
         stride = max(1, read_len // 2)
+        if tile_k is not None:
+            stride = max(1, min(stride, read_len - tile_k + 1))
         tiled = np.arange(0, g - read_len + 1, stride)
         if tiled[-1] != g - read_len:
             tiled = np.append(tiled, g - read_len)
