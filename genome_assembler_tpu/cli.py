@@ -51,9 +51,15 @@ def read_sequences(path: str) -> list[str]:
     return seqs
 
 
-def write_fasta(contigs: list[str], fh, prefix: str = "contig") -> None:
+def write_fasta(
+    contigs: list[str],
+    fh,
+    prefix: str = "contig",
+    coverages: list[float] | None = None,
+) -> None:
     for i, seq in enumerate(contigs):
-        fh.write(f">{prefix}_{i} len={len(seq)}\n")
+        cov = f" cov={coverages[i]:.1f}" if coverages else ""
+        fh.write(f">{prefix}_{i} len={len(seq)}{cov}\n")
         for j in range(0, len(seq), 80):
             fh.write(seq[j : j + 80] + "\n")
 
@@ -146,6 +152,7 @@ def cmd_assemble(args) -> int:
             reads.shape[1] if isinstance(reads, np.ndarray) else args.read_len
         ),
     )
+    coverages = None
     if args.backend == "oracle":
         contigs = assemble_oracle(reads, cfg)
         metrics = None
@@ -167,23 +174,23 @@ def cmd_assemble(args) -> int:
         if not isinstance(reads, np.ndarray):
             raise SystemExit("--backend tpu requires uniform-length reads")
         metrics = Metrics()
-        result = assemble_tpu(
+        contigs, graph = assemble_tpu(
             reads,
             cfg,
             metrics=metrics,
             checkpoint=args.checkpoint,
             resume_from=args.resume_from,
             use_pallas=args.pallas,
-            return_graph=bool(args.gfa),
+            return_graph=True,
         )
         if args.gfa:
             from .host.stats import write_gfa
 
-            contigs, graph = result
             with open(args.gfa, "w") as fh:
                 write_gfa(graph, fh)
-        else:
-            contigs = result
+        from .host.traverse import emit_contigs_with_cov
+
+        coverages = [c for _, c in emit_contigs_with_cov(graph)]
     dt = time.perf_counter() - t0
     if args.metrics_out and metrics is not None:
         metrics.dump(args.metrics_out)
@@ -193,7 +200,7 @@ def cmd_assemble(args) -> int:
         print(stats_json(contigs), file=sys.stderr)
 
     out = open(args.out, "w") if args.out else sys.stdout
-    write_fasta(contigs, out)
+    write_fasta(contigs, out, coverages=coverages)
     if args.out:
         out.close()
     total = sum(len(c) for c in contigs)

@@ -79,7 +79,14 @@ def _canonical_kmer_keys(seq: str, k: int) -> "np.ndarray":
 
 
 def emit_contigs(g: UnitigGraph, min_len: int | None = None) -> list[str]:
-    """Simplified unitigs -> canonical, deduplicated, ordered contigs.
+    """Simplified unitigs -> canonical, deduplicated, ordered contigs."""
+    return [seq for seq, _ in emit_contigs_with_cov(g, min_len)]
+
+
+def emit_contigs_with_cov(
+    g: UnitigGraph, min_len: int | None = None
+) -> list[tuple[str, float]]:
+    """Contigs with their mean k-mer coverage (for FASTA headers/reports).
 
     Contigs are the maximal unambiguous sequences: the simplified unitigs.
     Stitching through a branching junction would pick an arbitrary pairing
@@ -101,7 +108,7 @@ def emit_contigs(g: UnitigGraph, min_len: int | None = None) -> list[str]:
     min_len = g.k if min_len is None else min_len
     overlap = g.k - 1
     seen: set[str] = set()
-    contigs: list[str] = []
+    contigs: list[tuple[str, float]] = []
     for u in g.unitigs:
         if u.start == u.end and u.edges > 1:
             # circular: drop the duplicated (k-1)-overlap, canonicalize the
@@ -112,8 +119,8 @@ def emit_contigs(g: UnitigGraph, min_len: int | None = None) -> list[str]:
             seq = canonical_str(u.seq)
         if len(seq) >= min_len and seq not in seen:
             seen.add(seq)
-            contigs.append(seq)
-    contigs.sort(key=lambda s: (-len(s), s))
+            contigs.append((seq, u.cov))
+    contigs.sort(key=lambda sc: (-len(sc[0]), sc[0]))
     return contigs
 
 
