@@ -55,17 +55,22 @@ def main() -> int:
     n_windows = reads.shape[0] * (read_len - k + 1)
     cfg = AssemblyConfig(k=k, read_len=read_len)
 
-    # Warmup: compile + first run.
+    # Warmup: compile + first run. Timed regions end with a scalar fetch:
+    # on the axon platform block_until_ready returns before remote
+    # execution completes, so only a host fetch measures real completion
+    # (ADVICE.md r1; the fetch itself is one ~32 ms roundtrip).
+    from genome_assembler_tpu.utils.jaxenv import sync
+
     t0 = time.perf_counter()
     table = count_reads_device(reads, cfg)
-    table.counts.block_until_ready()
+    sync(table.num_unique)
     warmup_s = time.perf_counter() - t0
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         table = count_reads_device(reads, cfg)
-        table.counts.block_until_ready()
+        sync(table.num_unique)
         times.append(time.perf_counter() - t0)
     best = min(times)
     kmers_per_s = n_windows / best

@@ -49,6 +49,60 @@ def _scale() -> float:
     return float(os.environ.get("GA_ACCEPT_SCALE", "1.0"))
 
 
+def errored_run_ok(
+    contigs: list[str], genome: str, k: int, coverage: float | None = None
+) -> bool:
+    """Genome-level bar for error-rate configs (CFG 1).
+
+    Strict at every scale: every surviving contig must spell genomic
+    sequence exactly (substring of the genome or its reverse complement —
+    no chimeras, no residual error bases) and the assembly must be
+    near-complete in total bases.
+
+    Contiguity bounds depend on the effective clean-window coverage
+    (coverage * 0.99^k for 1% substitutions): at full CFG-1 scale
+    (eff >= 40) the measured behavior is one end-trimmed contig
+    (RESULTS.md), so the bar demands a dominant contig and <= 5 pieces;
+    at scaled-down CI coverage, occasional zero-clean-coverage breakpoints
+    are statistically expected, so only gross shattering fails.
+    """
+    from ..utils.dna import revcomp_str
+
+    if not contigs:
+        return False
+    both = genome + "#" + revcomp_str(genome)
+    if any(c not in both for c in contigs):
+        return False
+    total = sum(len(c) for c in contigs)
+    eff = coverage * 0.99**k if coverage is not None else None
+    if eff is None or eff >= 40:
+        return (
+            len(contigs) <= 5
+            and total >= 0.95 * len(genome)
+            and max(len(c) for c in contigs) >= 0.90 * len(genome)
+        )
+    return (
+        len(contigs) <= 10
+        and total >= 0.85 * len(genome)
+        and max(len(c) for c in contigs) >= 0.20 * len(genome)
+    )
+
+
+def weak_scaling_efficiency(rates: dict[int, float]) -> dict[int, float]:
+    """Efficiency of reads/s rates measured at several device counts.
+
+    eff(d) = rate(d) / (rate(d0) * d / d0), with d0 the smallest measured
+    device count — 1.0 means throughput grew linearly with devices.
+    (Unit-tested; the r1 arithmetic relied on dict-iteration semantics of
+    ``min`` over a dict, VERDICT r1 weak item 7.)
+    """
+    if not rates:
+        return {}
+    d0 = min(rates.keys())
+    base = rates[d0]
+    return {d: r / (base * d / d0) for d, r in rates.items()}
+
+
 def _run_single(
     genome_len: int,
     coverage: float,
@@ -104,9 +158,10 @@ def _run_single(
 
             passed = kmer_content_equal(contigs, genome_str, k)
     else:
-        # end-trimming + rare error breaks are legitimate; the bar is
-        # oracle-equality (the reference-equivalent implementation)
-        passed = True
+        # Errored reads: end-trimming (coverage dips at genome ends) and
+        # rare error-cluster breaks are legitimate, but the result must
+        # still be genome-faithful — enforced, not assumed (VERDICT r1).
+        passed = errored_run_ok(contigs, genome_str, k, coverage=coverage)
     if check_oracle:
         oracle = assemble_oracle(rs.codes, cfg)
         passed = passed and contigs == oracle
@@ -159,11 +214,25 @@ def accept_cfg3() -> AcceptResult:
 
 
 def accept_cfg4() -> AcceptResult:
-    """Multi-device sharded counting + weak-scaling efficiency."""
+    """Multi-device sharded counting + full sharded assembly + weak scaling.
+
+    Bars (each enforced in-runner, VERDICT r1 item 3):
+      * sharded counts == host reference counts, bit for bit;
+      * the full distributed assembly reproduces the oracle's contigs;
+      * weak-scaling efficiency at the largest mesh >= GA_WEAK_SCALING_MIN
+        when GA_ENFORCE_WEAK_SCALING=1 (real pod slices only — virtual CPU
+        devices share host cores, so their efficiency is reported but
+        meaningless as a bar).
+    """
     import jax
 
+    from ..host.traverse import contigs_equal
     from ..parallel.mesh import build_mesh
-    from ..parallel.pipeline import distributed_count_to_host
+    from ..parallel.pipeline import (
+        assemble_distributed,
+        distributed_count_to_host,
+    )
+    from .oracle import assemble_oracle, count_canonical_fast
 
     s = _scale()
     genome_len = max(int(12_000_000 * s), 2000)
@@ -173,19 +242,32 @@ def accept_cfg4() -> AcceptResult:
     cfg = AssemblyConfig(k=31, read_len=100)
 
     n_dev = len(jax.devices())
-    sizes = [d for d in (1, 2, n_dev) if d <= n_dev]
-    rates = {}
-    for d in sorted(set(sizes)):
+    sizes = sorted({d for d in (1, 2, n_dev) if d <= n_dev})
+    rates: dict[int, float] = {}
+    counts_ok = True
+    for d in sizes:
         mesh = build_mesh(d)
         t0 = time.perf_counter()
         counts = distributed_count_to_host(rs.codes, cfg, mesh)
         dt = time.perf_counter() - t0
         rates[d] = rs.num_reads / dt
-    base = rates[min(rates)]
-    eff = {
-        d: round(r / (base * d / min(rates)), 3) for d, r in rates.items()
-    }
-    passed = len(counts) > 0
+        counts_ok = counts_ok and counts == count_canonical_fast(
+            rs.codes, cfg.k
+        )
+    eff = weak_scaling_efficiency(rates)
+
+    # Full sharded assembly end-to-end on the largest mesh vs the oracle.
+    contigs = assemble_distributed(rs.codes, cfg, build_mesh(n_dev))
+    oracle = assemble_oracle(rs.codes, cfg)
+    assembly_ok = contigs == oracle and contigs_equal(
+        contigs, [decode_seq(genome)]
+    )
+
+    passed = counts_ok and assembly_ok
+    eff_bar = None
+    if os.environ.get("GA_ENFORCE_WEAK_SCALING") == "1":
+        eff_bar = float(os.environ.get("GA_WEAK_SCALING_MIN", "0.8"))
+        passed = passed and eff[max(rates.keys())] >= eff_bar
     return AcceptResult(
         4,
         passed,
@@ -193,8 +275,12 @@ def accept_cfg4() -> AcceptResult:
             "genome_len": genome_len,
             "reads": rs.num_reads,
             "devices": sizes,
+            "counts_match_host": counts_ok,
+            "assembly_matches_oracle": assembly_ok,
+            "contigs": len(contigs),
             "reads_per_s": {str(d): round(r, 1) for d, r in rates.items()},
-            "weak_scaling_eff": {str(d): e for d, e in eff.items()},
+            "weak_scaling_eff": {str(d): round(e, 3) for d, e in eff.items()},
+            "weak_scaling_bar": eff_bar,
             "unique_kmers": len(counts),
         },
     )

@@ -28,6 +28,7 @@ from ..ops import count_jax
 from ..ops.kmer_jax import extract_canonical_flat
 from ..utils.config import AssemblyConfig
 from ..utils.dna import key_words
+from ..utils.jaxenv import sync
 
 import os
 
@@ -267,7 +268,7 @@ def assemble_tpu(
                 table_capacity=table_capacity,
                 use_pallas=use_pallas,
             )
-            table.counts.block_until_ready()
+            sync(table.num_unique)
         m.count(
             "count_bytes",
             reads.size + 2 * reads.shape[0] * wc * table.words.shape[1] * 4,
@@ -288,7 +289,7 @@ def assemble_tpu(
             )
         with m.stage("compress"):
             dev = compress_unitigs_device(table, cfg.k)
-            dev.uid.block_until_ready()
+            sync(dev.num_unitigs)
         with m.stage("spell"):
             unitigs = spell_device_unitigs(dev, cfg.k)
         with m.stage("simplify"):

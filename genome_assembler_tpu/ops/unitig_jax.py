@@ -349,6 +349,16 @@ def compress_unitigs_device(table: CountTable, k: int) -> DeviceUnitigs:
     """
     if k % 2 == 0:
         raise ValueError("device unitig compression requires odd k")
+    if 2 * table.words.shape[0] >= (1 << 29):
+        # _rank_pass carries chain distances in int32; beyond 2^29 edges the
+        # doubled distance / cycle threshold would overflow (ADVICE.md r1).
+        # 2^29 edge rows is ~4 GiB of key words alone, past single-chip HBM
+        # budget for this pipeline — shard the table instead.
+        raise ValueError(
+            "edge table too large for device compression "
+            f"({2 * table.words.shape[0]} rows >= 2^29); "
+            "reduce table capacity or use the distributed path"
+        )
     edge_words, covs, valid = _build_edges(table, k)
     prev = _link_successors(edge_words, valid, k)
     uid, pos, num = _resolve_chains(prev, valid)

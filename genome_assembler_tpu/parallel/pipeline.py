@@ -34,6 +34,7 @@ from ..ops.hash import mix_words
 from ..ops.kmer_jax import SENTINEL, extract_kmers, unpack_codes
 from ..utils.config import AssemblyConfig
 from ..utils.dna import key_words, pack_codes
+from ..utils.jaxenv import sync
 
 
 def _local_extract(reads: jax.Array, k: int, n_valid: jax.Array):
@@ -244,13 +245,13 @@ def assemble_distributed(
 
         with m.stage("count"):
             table = distributed_count_table(reads, cfg, mesh)
-            table.counts.block_until_ready()
+            sync(table.num_unique)
         min_count = cfg.min_count or auto_min_count(table)
         with m.stage("filter"):
             table = count_jax.filter_table(table, min_count)
         with m.stage("compress"):
             dev = compress_unitigs_device(table, cfg.k)
-            dev.uid.block_until_ready()
+            sync(dev.num_unitigs)
         with m.stage("spell"):
             unitigs = spell_device_unitigs(dev, cfg.k)
         with m.stage("simplify"):

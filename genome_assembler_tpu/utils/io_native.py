@@ -26,7 +26,14 @@ def _load() -> ctypes.CDLL | None:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "ga_io.cpp")
+    stale = not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if stale:
+        # make's own dependency check also catches this, but calling it
+        # only when needed keeps import cheap on read-only installs.
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR, "-s"],
@@ -35,7 +42,8 @@ def _load() -> ctypes.CDLL | None:
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

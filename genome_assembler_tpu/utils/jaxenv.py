@@ -34,3 +34,17 @@ def setup(platform: str | None = None) -> None:
         jax.config.update("jax_platforms", "cpu")
     elif platform == "tpu":
         jax.config.update("jax_platforms", "axon,cpu")
+
+
+def sync(x) -> None:
+    """Force completion of the program that produced ``x``.
+
+    On the tunneled `axon` platform, ``block_until_ready()`` returns before
+    remote execution finishes (ARCHITECTURE.md "Platform notes"); only a
+    host fetch truly waits. Fetching one scalar element is enough — XLA
+    outputs materialize only when the whole program has executed — and
+    costs one ~32 ms roundtrip instead of an array transfer.
+    """
+    import numpy as np
+
+    np.asarray(x.reshape(-1)[:1] if getattr(x, "ndim", 0) else x)
