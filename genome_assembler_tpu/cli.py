@@ -24,7 +24,8 @@ from .utils.simulate import GENOME_PRESETS, preset_genome, simulate_genome, simu
 
 
 def read_sequences(path: str) -> list[str]:
-    """Load reads: FASTA if the first record starts with '>', else one
+    """Load reads: FASTA if the first record starts with '>', FASTQ if it
+    starts with '@' (sequence lines kept, quality lines skipped), else one
     sequence per line (multi-line joining only applies to FASTA records).
     path '-' reads stdin (reference CLI parity: assemble < reads)."""
     if path == "-":
@@ -35,6 +36,14 @@ def read_sequences(path: str) -> list[str]:
     lines = [ln for ln in lines if ln]
     if not lines:
         return []
+    if lines[0].startswith("@"):
+        # FASTQ: 4-line records (@header, sequence, +separator, quality)
+        if len(lines) % 4 != 0:
+            raise ValueError(
+                f"{path}: malformed FASTQ ({len(lines)} non-empty lines, "
+                "expected a multiple of 4)"
+            )
+        return [lines[i + 1].upper() for i in range(0, len(lines), 4)]
     if not lines[0].startswith(">"):
         return [ln.upper() for ln in lines]
     seqs: list[str] = []
@@ -135,7 +144,11 @@ def cmd_assemble(args) -> int:
                 raise SystemExit(f"no reads found in {args.reads}")
             lens = {len(s) for s in seqs}
             if len(lens) == 1:
-                reads = np.stack([encode_seq(s) for s in seqs])
+                # mask_invalid: Ns in real read data mask their windows
+                # instead of aborting the run
+                reads = np.stack(
+                    [encode_seq(s, mask_invalid=True) for s in seqs]
+                )
             else:
                 reads = seqs  # ragged: dict counting path
             n_reads = len(seqs)
@@ -154,18 +167,21 @@ def cmd_assemble(args) -> int:
     )
     coverages = None
     if args.backend == "oracle":
-        contigs = assemble_oracle(reads, cfg)
+        contigs = assemble_oracle(reads, cfg, emit=args.emit)
         metrics = None
     elif args.backend == "dist":
-        from .parallel.mesh import build_mesh
+        from .parallel.mesh import build_mesh, init_distributed
         from .parallel.pipeline import assemble_distributed
         from .utils.metrics import Metrics
 
         if not isinstance(reads, np.ndarray):
             raise SystemExit("--backend dist requires uniform-length reads")
+        init_distributed()  # multi-process launch when GA_DIST=1
         metrics = Metrics()
         contigs = assemble_distributed(
-            reads, cfg, build_mesh(args.devices), metrics=metrics
+            reads, cfg, build_mesh(args.devices, hosts=args.hosts),
+            metrics=metrics, emit=args.emit,
+            checkpoint=args.checkpoint, resume_from=args.resume_from,
         )
     else:  # tpu
         from .models.pipeline import assemble_tpu
@@ -182,15 +198,24 @@ def cmd_assemble(args) -> int:
             resume_from=args.resume_from,
             use_pallas=args.pallas,
             return_graph=True,
+            emit=args.emit,
         )
         if args.gfa:
             from .host.stats import write_gfa
 
             with open(args.gfa, "w") as fh:
                 write_gfa(graph, fh)
-        from .host.traverse import emit_contigs_with_cov
+        from .host.traverse import (
+            emit_contigs_euler_with_cov,
+            emit_contigs_with_cov,
+        )
 
-        coverages = [c for _, c in emit_contigs_with_cov(graph)]
+        with_cov = (
+            emit_contigs_euler_with_cov(graph)
+            if args.emit == "euler"
+            else emit_contigs_with_cov(graph)
+        )
+        coverages = [c for _, c in with_cov]
     dt = time.perf_counter() - t0
     if args.metrics_out and metrics is not None:
         metrics.dump(args.metrics_out)
@@ -240,6 +265,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pa.add_argument("--devices", type=int, default=None,
                     help="mesh size for --backend dist (default: all)")
+    pa.add_argument("--hosts", type=int, default=None,
+                    help="build a 2-level (host, chip) mesh with this many "
+                    "hosts (--backend dist; pod runs pair it with GA_DIST=1)")
     pa.add_argument("--out", default=None, help="contigs FASTA (default stdout)")
     pa.add_argument("--metrics-out", default=None,
                     help="write per-stage metrics JSON here")
@@ -248,6 +276,14 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--gfa", default=None,
                     help="write the simplified unitig graph as GFA 1.0 "
                     "(tpu backend only)")
+    pa.add_argument(
+        "--emit",
+        choices=["unitigs", "euler"],
+        default="unitigs",
+        help="contig emission: unitigs stop at branching junctions "
+        "(default); euler spells full Eulerian walks (reference-parity "
+        "mode, walks through junctions)",
+    )
     pa.add_argument("--pallas", action="store_true",
                     help="use the Pallas extraction kernel (tpu backend)")
     pa.add_argument("--checkpoint", default=None,
@@ -262,7 +298,31 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("configs", nargs="*", type=int, default=None,
                     help="config ids (default: all)")
     pc.set_defaults(fn=cmd_accept)
+
+    pv = sub.add_parser(
+        "verify-reference",
+        help="run the upstream reference assembler and diff contigs "
+        "(SURVEY.md §0 parity harness)",
+    )
+    pv.add_argument("path", help="reference checkout (e.g. /root/reference)")
+    pv.add_argument("--reads", default=None,
+                    help="reads file to feed both assemblers "
+                    "(default: simulate CFG 0)")
+    pv.add_argument("--cmd", default=None,
+                    help="shell template to run the reference, with {entry} "
+                    "and {reads} placeholders")
+    pv.add_argument("-k", type=int, default=25)
+    pv.add_argument("--min-count", type=int, default=1)
+    pv.add_argument("--use-ref-data", action="store_true",
+                    help="run on the reference's bundled read sets")
+    pv.set_defaults(fn=_cmd_verify_reference)
     return p
+
+
+def _cmd_verify_reference(args) -> int:
+    from .verify_reference import cmd_verify_reference
+
+    return cmd_verify_reference(args)
 
 
 def cmd_accept(args) -> int:

@@ -22,43 +22,82 @@ from .dbg import UnitigGraph
 
 
 def euler_walks(g: UnitigGraph) -> list[list[int]]:
-    """Decompose the unitig graph into deterministic edge-covering walks."""
+    """Decompose the unitig graph into deterministic edge-covering walks.
+
+    Hierholzer's emit-on-pop construction is only valid on *balanced*
+    components (every node in == out); branchy assembly graphs have many
+    imbalanced junctions, where the naive stack walk emits non-contiguous
+    edge sequences. So the graph is first balanced with virtual edges from
+    each in-surplus node (sink) to an out-surplus node (source), paired in
+    sorted node order; Eulerian circuits of the balanced multigraph are
+    then split at the virtual edges, leaving only contiguous real walks
+    (each from a source to a sink, plus pure cycles).
+
+    Deterministic throughout: virtual pairing by sorted node label, circuit
+    starts at the smallest node with unused edges, real edges chosen by
+    lexicographically smallest unitig sequence (then id) before virtual.
+    """
     unused: dict[str, list[int]] = {
         node: sorted(ids, key=lambda i: (g.unitigs[i].seq, i), reverse=True)
         for node, ids in g.out_adj.items()
     }
-    out_avail = {node: len(ids) for node, ids in unused.items()}
-    in_avail: dict[str, int] = {}
-    for node, ids in g.in_adj.items():
-        in_avail[node] = len(ids)
+    out_deg = {node: len(ids) for node, ids in unused.items()}
+    in_deg = {node: len(ids) for node, ids in g.in_adj.items()}
+    nodes = sorted(set(out_deg) | set(in_deg))
+    imb = {n: out_deg.get(n, 0) - in_deg.get(n, 0) for n in nodes}
+    sources = [n for n in nodes for _ in range(max(imb[n], 0))]
+    sinks = [n for n in nodes for _ in range(max(-imb[n], 0))]
+    vadj: dict[str, list[str]] = {}
+    for sink, source in zip(sinks, sources):
+        vadj.setdefault(sink, []).append(source)
+    for lst in vadj.values():
+        lst.sort(reverse=True)
 
-    remaining = sum(out_avail.values())
-    walks: list[list[int]] = []
+    remaining = sum(out_deg.values()) + len(sources)
+    VIRTUAL = -1
+    circuits: list[list[int]] = []
     while remaining:
-        # Start preference: most positive (out - in) imbalance, then smallest
-        # node label — an Eulerian path start when one exists.
         start = min(
-            (n for n, c in out_avail.items() if c > 0),
-            key=lambda n: (-(out_avail[n] - in_avail.get(n, 0)), n),
+            n for n in nodes if unused.get(n) or vadj.get(n)
         )
-        stack: list[tuple[str, int]] = [(start, -1)]
+        stack: list[tuple[str, int | None]] = [(start, None)]
         circuit: list[int] = []
         while stack:
             node, _ = stack[-1]
             ids = unused.get(node)
             if ids:
                 eid = ids.pop()
-                out_avail[node] -= 1
-                u = g.unitigs[eid]
-                in_avail[u.end] = in_avail.get(u.end) - 1
-                stack.append((u.end, eid))
                 remaining -= 1
+                stack.append((g.unitigs[eid].end, eid))
+            elif vadj.get(node):
+                target = vadj[node].pop()
+                remaining -= 1
+                stack.append((target, VIRTUAL))
             else:
                 _, eid = stack.pop()
-                if eid >= 0:
+                if eid is not None:
                     circuit.append(eid)
         circuit.reverse()
-        walks.append(circuit)
+        circuits.append(circuit)
+
+    walks: list[list[int]] = []
+    for circuit in circuits:
+        vpos = [i for i, e in enumerate(circuit) if e == VIRTUAL]
+        if not vpos:
+            walks.append(circuit)
+            continue
+        # rotate to start just past a virtual edge, then cut at the rest
+        rot = circuit[vpos[0] + 1 :] + circuit[: vpos[0]]
+        seg: list[int] = []
+        for e in rot:
+            if e == VIRTUAL:
+                if seg:
+                    walks.append(seg)
+                seg = []
+            else:
+                seg.append(e)
+        if seg:
+            walks.append(seg)
     return walks
 
 
@@ -120,6 +159,57 @@ def emit_contigs_with_cov(
         if len(seq) >= min_len and seq not in seen:
             seen.add(seq)
             contigs.append((seq, u.cov))
+    contigs.sort(key=lambda sc: (-len(sc[0]), sc[0]))
+    return contigs
+
+
+def emit_contigs_euler(g: UnitigGraph, min_len: int | None = None) -> list[str]:
+    """Eulerian-emission mode: contigs spelled from full edge-covering walks."""
+    return [seq for seq, _ in emit_contigs_euler_with_cov(g, min_len)]
+
+
+def emit_contigs_euler_with_cov(
+    g: UnitigGraph, min_len: int | None = None
+) -> list[tuple[str, float]]:
+    """Contigs from deterministic Eulerian walks (reference-parity mode).
+
+    The reference's pipeline spells contigs from ``eulerian_path`` over the
+    cleaned graph (SURVEY.md §3.1/§3.4), which walks *through* junctions;
+    the default emission (emit_contigs) stops at junctions because the
+    continuation there is ambiguous. This mode mirrors the reference
+    behavior instead: decompose the unitig graph into edge-covering walks
+    (euler_walks — deterministic start and edge tie-breaks) and spell each
+    walk as one contig.
+
+    Strand handling matches emit_contigs: the strand-symmetric graph yields
+    every walk's reverse-complement twin, collapsed by canonical dedupe;
+    closed walks (start node == end node) re-linearize at the Booth least
+    rotation over both strands before dedupe.
+    """
+    from ..utils.dna import canonical_cycle
+
+    min_len = g.k if min_len is None else min_len
+    overlap = g.k - 1
+    seen: set[str] = set()
+    contigs: list[tuple[str, float]] = []
+    for walk in euler_walks(g):
+        seq = spell_walk(g, walk)
+        edges = sum(g.unitigs[i].edges for i in walk)
+        cov = (
+            sum(g.unitigs[i].cov * g.unitigs[i].edges for i in walk) / edges
+        )
+        closed = (
+            g.unitigs[walk[0]].start == g.unitigs[walk[-1]].end
+            and len(seq) > overlap
+        )
+        if closed and edges > 1:
+            core = canonical_cycle(seq[: len(seq) - overlap])
+            seq = core + core[:overlap]
+        else:
+            seq = canonical_str(seq)
+        if len(seq) >= min_len and seq not in seen:
+            seen.add(seq)
+            contigs.append((seq, cov))
     contigs.sort(key=lambda sc: (-len(sc[0]), sc[0]))
     return contigs
 

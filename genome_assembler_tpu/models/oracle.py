@@ -36,10 +36,15 @@ def count_canonical_dict(
     """Reference-style canonical k-mer counting (dict upsert per window)."""
     if isinstance(reads, np.ndarray):
         reads = [decode_seq(row) for row in reads]
+    acgt = set("ACGT")
     counts: dict[str, int] = {}
     for read in reads:
+        clean = set(read) <= acgt
         for i in range(len(read) - k + 1):
-            kmer = canonical_str(read[i : i + k])
+            window = read[i : i + k]
+            if not clean and not set(window) <= acgt:
+                continue  # ambiguous-base windows are masked, not counted
+            kmer = canonical_str(window)
             counts[kmer] = counts.get(kmer, 0) + 1
     return counts
 
@@ -51,9 +56,14 @@ def count_canonical_fast(reads: np.ndarray, k: int) -> dict[str, int]:
 
 
 def assemble_from_counts(
-    counts: dict[str, int], cfg: AssemblyConfig
+    counts: dict[str, int], cfg: AssemblyConfig, emit: str = "unitigs"
 ) -> list[str]:
-    """Filter + graph + simplify + traverse (shared back half)."""
+    """Filter + graph + simplify + traverse (shared back half).
+
+    emit: "unitigs" (default — contigs stop at junctions) or "euler"
+    (reference-parity mode — contigs spelled from Eulerian walks, mirrored
+    on the TPU path so oracle-vs-TPU equality holds in both modes).
+    """
     min_count = cfg.min_count
     if min_count == 0:  # auto threshold, same heuristic as the TPU path
         from .pipeline import auto_min_count
@@ -65,6 +75,10 @@ def assemble_from_counts(
     graph = simplify_counts(
         kept, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
     )
+    if emit == "euler":
+        from ..host.traverse import emit_contigs_euler
+
+        return emit_contigs_euler(graph)
     return emit_contigs(graph)
 
 
@@ -73,10 +87,11 @@ def assemble_oracle(
     cfg: AssemblyConfig,
     *,
     fast_count: bool = True,
+    emit: str = "unitigs",
 ) -> list[str]:
     """End-to-end oracle assembly: reads -> canonical contigs."""
     if fast_count and isinstance(reads, np.ndarray):
         counts = count_canonical_fast(reads, cfg.k)
     else:
         counts = count_canonical_dict(reads, cfg.k)
-    return assemble_from_counts(counts, cfg)
+    return assemble_from_counts(counts, cfg, emit)

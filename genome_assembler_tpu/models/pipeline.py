@@ -42,7 +42,10 @@ SINGLE_SHOT_WINDOWS = int(os.environ.get("GA_SINGLE_SHOT_WINDOWS", 1 << 27))
 @functools.partial(
     jax.jit, static_argnames=("k", "use_pallas", "out_cap", "read_len")
 )
-def _count_batch(reads, k, n_valid, use_pallas=False, out_cap=None, read_len=None):
+def _count_batch(
+    reads, k, n_valid, use_pallas=False, out_cap=None, read_len=None,
+    inv_mask=None,
+):
     """One dispatch: extract + canonicalize + sort-count a read batch.
 
     Fusing the stages into a single jit call matters doubly here: XLA fuses
@@ -56,17 +59,28 @@ def _count_batch(reads, k, n_valid, use_pallas=False, out_cap=None, read_len=Non
 
     read_len set means ``reads`` arrived 2-bit packed (utils.dna.pack_codes)
     — a 4x smaller host->device transfer, unpacked here in one VPU pass.
+
+    inv_mask ([B, ceil(L/8)] packed bits, utils.dna.pack_invalid_mask)
+    flags ambiguous bases (Ns); windows touching one are masked to the
+    sentinel, never counted. Ambiguity can't ride the 2-bit packing, hence
+    the separate bits. The Pallas extraction kernel has no mask plumbing,
+    so masked batches always take the XLA path.
     """
+    bad = None
+    if inv_mask is not None:
+        from ..ops.kmer_jax import unpack_invalid_mask
+
+        bad = unpack_invalid_mask(inv_mask, read_len or reads.shape[1])
     if read_len is not None:
         from ..ops.kmer_jax import unpack_codes
 
         reads = unpack_codes(reads, read_len)
-    if use_pallas:
+    if use_pallas and bad is None:
         from ..ops.kmer_pallas import extract_canonical_flat_pallas
 
         keys, _ = extract_canonical_flat_pallas(reads, k, n_valid)
     else:
-        keys, _ = extract_canonical_flat(reads, k, n_valid)
+        keys, _ = extract_canonical_flat(reads, k, n_valid, bad)
     table = count_jax.count_keys(keys)
     if out_cap is not None and out_cap < table.words.shape[0]:
         table = count_jax.CountTable(
@@ -89,12 +103,13 @@ def _merge_step(table, batch_table):
     donate_argnums=(0,),
 )
 def _stream_step(
-    table, reads, k, n_valid, use_pallas=False, out_cap=None, read_len=None
+    table, reads, k, n_valid, use_pallas=False, out_cap=None, read_len=None,
+    inv_mask=None,
 ):
     """Fused streaming step: count one batch and merge into the running
     table in a single dispatch (donating the old table's buffers)."""
     batch = _count_batch.__wrapped__(
-        reads, k, n_valid, use_pallas, out_cap, read_len
+        reads, k, n_valid, use_pallas, out_cap, read_len, inv_mask
     )
     return count_jax.merge_tables(table, batch)
 
@@ -127,12 +142,13 @@ def count_reads_device(
                 axis=0,
             )
 
-    from ..utils.dna import pack_codes
+    from ..utils.dna import pack_codes, pack_invalid_mask
 
+    inv_mask = pack_invalid_mask(reads)
     if table_capacity is None and total_windows <= SINGLE_SHOT_WINDOWS:
         return _count_batch(
             pack_codes(reads), cfg.k, np.int32(b), use_pallas,
-            read_len=length,
+            read_len=length, inv_mask=inv_mask,
         )
 
     # Bounded default: unique k-mers are genome-sized, far below the window
@@ -149,11 +165,21 @@ def count_reads_device(
         )
     table = count_jax.empty_table(capacity, key_words(cfg.k))
     for start in range(0, padded, batch):
-        chunk = pack_codes(reads[start : start + batch])
+        rows = reads[start : start + batch]
+        chunk = pack_codes(rows)
         n_valid = np.int32(min(max(b - start, 0), batch))
+        if inv_mask is None:
+            bm = None
+        else:
+            # Ns anywhere in the read set: every batch carries mask bits
+            # (zeros when locally clean) so the jit signature — and the
+            # minutes-long axon compile it keys — stays constant.
+            bm = pack_invalid_mask(rows)
+            if bm is None:
+                bm = np.zeros((rows.shape[0], (length + 7) // 8), np.uint8)
         table = _stream_step(
             table, chunk, cfg.k, n_valid, use_pallas,
-            out_cap=capacity, read_len=length,
+            out_cap=capacity, read_len=length, inv_mask=bm,
         )
     return table
 
@@ -240,6 +266,7 @@ def assemble_tpu(
     checkpoint: str | None = None,
     resume_from: str | None = None,
     return_graph: bool = False,
+    emit: str = "unitigs",
 ) -> list[str] | tuple[list[str], "object"]:
     """End-to-end single-device assembly: reads -> canonical contigs.
 
@@ -251,6 +278,10 @@ def assemble_tpu(
 
     checkpoint/resume_from: stage-boundary .npz checkpoint of the counted
     k-mer table (SURVEY.md §5 checkpoint/resume).
+
+    emit: "unitigs" (default) stops contigs at branching junctions;
+    "euler" spells them from Eulerian walks (reference-parity mode,
+    host/traverse.emit_contigs_euler_with_cov).
     """
     from ..utils.metrics import Metrics
 
@@ -258,6 +289,13 @@ def assemble_tpu(
     wc = reads.shape[1] - cfg.k + 1
     m.count("reads", reads.shape[0])
     m.count("kmers", reads.shape[0] * wc)
+    if (reads > 3).any():
+        from ..ops.kmer_ref import window_valid_np
+
+        m.count(
+            "masked_windows",
+            int((~window_valid_np(reads, cfg.k)).sum()),
+        )
     if resume_from is not None:
         table = load_table(resume_from)
     else:
@@ -303,7 +341,12 @@ def assemble_tpu(
                 counts, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
             )
     with m.stage("traverse"):
-        contigs = emit_contigs(graph)
+        if emit == "euler":
+            from ..host.traverse import emit_contigs_euler
+
+            contigs = emit_contigs_euler(graph)
+        else:
+            contigs = emit_contigs(graph)
     if return_graph:
         return contigs, graph
     return contigs

@@ -77,11 +77,18 @@ def unpack_codes(packed: jax.Array, read_len: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("k", "canonical"))
 def extract_kmers(
-    reads: jax.Array, k: int, canonical: bool = True
+    reads: jax.Array, k: int, canonical: bool = True,
+    bad: jax.Array | None = None,
 ) -> jax.Array:
     """[B, L] uint8 reads -> packed k-mer keys [B, L-k+1, W] uint32.
 
     canonical=True returns min(kmer, revcomp(kmer)) per window.
+
+    Windows touching an ambiguous base come back as the sentinel key
+    (masked, never counted): a base is ambiguous when its code > 3 or when
+    ``bad`` [B, L] flags it (codes arriving 2-bit packed lose the
+    INVALID_CODE value, so the invalid-mask bits travel separately —
+    utils.dna.pack_invalid_mask).
     """
     b, length = reads.shape
     wc = length - k + 1
@@ -89,27 +96,49 @@ def extract_kmers(
     zeros = jnp.zeros((b, wc), dtype=jnp.uint32)
     fwd = [zeros] * w
     rc = [zeros] * w
+    window_bad = jnp.zeros((b, wc), dtype=bool)
     for j in range(k):
         base = jax.lax.dynamic_slice_in_dim(reads, j, wc, axis=1)
         base = base.astype(jnp.uint32)
+        window_bad = window_bad | (base > 3)
+        base = base & jnp.uint32(3)
+        if bad is not None:
+            window_bad = window_bad | jax.lax.dynamic_slice_in_dim(
+                bad, j, wc, axis=1
+            )
         fwd = _shift_left2_or(fwd, base)
         rc = _shift_right2_or_top(rc, jnp.uint32(3) - base, k)
     out = lex_min(fwd, rc) if canonical else fwd
-    return jnp.stack(out, axis=-1)
+    keys = jnp.stack(out, axis=-1)
+    return jnp.where(window_bad[..., None], SENTINEL, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("read_len",))
+def unpack_invalid_mask(packed: jax.Array, read_len: int) -> jax.Array:
+    """[B, ceil(L/8)] packed bits -> [B, L] bool (see pack_invalid_mask)."""
+    bits = [
+        (packed >> jnp.uint8(i)) & jnp.uint8(1) for i in range(8)
+    ]
+    bad = jnp.stack(bits, axis=-1).reshape(packed.shape[0], -1)
+    return bad[:, :read_len].astype(bool)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def extract_canonical_flat(
-    reads: jax.Array, k: int, num_valid_reads: jax.Array | None = None
+    reads: jax.Array,
+    k: int,
+    num_valid_reads: jax.Array | None = None,
+    bad: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """[B, L] reads -> (keys [B*(L-k+1), W], valid [B*(L-k+1)]).
 
     Rows >= num_valid_reads (batch padding) are marked invalid; their keys
-    are replaced by the all-ones sentinel so they sort to the end.
+    are replaced by the all-ones sentinel so they sort to the end. ``bad``
+    [B, L] flags ambiguous bases whose windows mask the same way.
     """
     b, length = reads.shape
     wc = length - k + 1
-    keys = extract_kmers(reads, k, canonical=True)
+    keys = extract_kmers(reads, k, canonical=True, bad=bad)
     if num_valid_reads is None:
         valid = jnp.ones((b, wc), dtype=bool)
     else:

@@ -52,7 +52,12 @@ def _shift_right2_or_top(
 def extract_kmer_words_np(
     reads: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """All k-windows of [B, L] reads -> (fwd, rc) packed keys [B, L-k+1, W]."""
+    """All k-windows of [B, L] reads -> (fwd, rc) packed keys [B, L-k+1, W].
+
+    Ambiguous bases (code > 3) are clamped for the bit path; use
+    window_valid_np to mask the windows they touch (mirroring the device
+    kernels' sentinel masking).
+    """
     reads = np.asarray(reads)
     b, length = reads.shape
     wc = length - k + 1
@@ -60,10 +65,21 @@ def extract_kmer_words_np(
     fwd = np.zeros((b, wc, w), dtype=np.uint32)
     rc = np.zeros((b, wc, w), dtype=np.uint32)
     for j in range(k):
-        base = reads[:, j : j + wc].astype(np.uint32)
+        base = reads[:, j : j + wc].astype(np.uint32) & np.uint32(3)
         fwd = _shift_left2_or(fwd, base)
         rc = _shift_right2_or_top(rc, np.uint32(3) - base, k)
     return fwd, rc
+
+
+def window_valid_np(reads: np.ndarray, k: int) -> np.ndarray:
+    """[B, L] codes -> [B*(L-k+1)] bool: window touches no invalid base."""
+    reads = np.asarray(reads)
+    bad = (reads > 3).astype(np.int32)
+    cum = np.cumsum(bad, axis=1)
+    wc = reads.shape[1] - k + 1
+    in_window = cum[:, k - 1 :].copy()
+    in_window[:, 1:] -= cum[:, : wc - 1]
+    return (in_window == 0).reshape(-1)
 
 
 def canonical_min_np(fwd: np.ndarray, rc: np.ndarray) -> np.ndarray:
@@ -129,8 +145,13 @@ def count_unique_np(
 def count_canonical_np(
     reads: np.ndarray, k: int, min_count: int = 1
 ) -> tuple[np.ndarray, np.ndarray]:
-    """[B, L] reads -> (unique canonical keys [U, W], counts [U]) filtered."""
+    """[B, L] reads -> (unique canonical keys [U, W], counts [U]) filtered.
+
+    Windows containing ambiguous bases are masked, not counted."""
     canon = extract_canonical_np(reads, k)
-    uniq, counts = count_unique_np(canon)
+    valid = None
+    if (np.asarray(reads) > 3).any():
+        valid = window_valid_np(reads, k)
+    uniq, counts = count_unique_np(canon, valid)
     keep = counts >= min_count
     return uniq[keep], counts[keep]

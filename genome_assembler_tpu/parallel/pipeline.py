@@ -37,15 +37,22 @@ from ..utils.dna import key_words, pack_codes
 from ..utils.jaxenv import sync
 
 
-def _local_extract(reads: jax.Array, k: int, n_valid: jax.Array):
+def _local_extract(
+    reads: jax.Array, k: int, n_valid: jax.Array, bad: jax.Array | None = None
+):
     """[B, L] local shard -> ([N, W] canonical keys, [N] valid)."""
     b, length = reads.shape
     wc = length - k + 1
-    keys = extract_kmers(reads, k, canonical=True)
+    keys = extract_kmers(reads, k, canonical=True, bad=bad)
     row_ok = jnp.arange(b, dtype=jnp.int32) < n_valid
     valid = jnp.broadcast_to(row_ok[:, None], (b, wc)).reshape(b * wc)
     keys = jnp.where(valid[:, None], keys.reshape(b * wc, -1), SENTINEL)
-    return keys, valid
+    # N-masked windows already carry the sentinel; drop them from routing
+    # too, or they all hash into one bucket and blow its capacity.
+    masked = keys[:, 0] == SENTINEL
+    for i in range(1, keys.shape[1]):
+        masked &= keys[:, i] == SENTINEL
+    return keys, valid & ~masked
 
 
 def _route_to_buckets(
@@ -89,21 +96,34 @@ def _route_to_buckets(
 
 def make_distributed_count(
     mesh: Mesh, k: int, batch_per_device: int, read_len: int, bucket_cap: int,
-    axis: str = "d",
+    axis="d", with_mask: bool = False,
 ):
     """Build the jitted multi-device counting step.
 
-    Returns fn(reads [D*B, L] u8, n_valid [D] i32) ->
+    Returns fn(reads [D*B, L] u8, n_valid [D] i32[, inv_mask]) ->
       (words [D*C, W] row-sharded, counts [D*C], num_unique [D], overflow []).
-    C = D * bucket_cap is each device's table capacity.
+    C = D * bucket_cap is each device's table capacity. with_mask adds a
+    packed invalid-base bitmask operand (reads with Ns; see
+    utils.dna.pack_invalid_mask) whose windows are masked before routing.
+
+    axis: one mesh axis name, or a tuple of axis names — a 2-level
+    ('host', 'chip') pod mesh flattens into one logical all-to-all axis
+    (XLA lowers the intra-host legs to ICI and the cross-host legs to DCN).
     """
-    d = mesh.shape[axis]
+    from .mesh import axis_size
+
+    d = axis_size(mesh, axis)
     w = key_words(k)
 
-    def local_step(reads, n_valid):
+    def local_step(reads, n_valid, inv_mask=None):
         # reads arrive 2-bit packed (4x smaller host->device transfer)
         unpacked = unpack_codes(reads[0], read_len)
-        keys, valid = _local_extract(unpacked, k, n_valid[0])
+        bad = None
+        if inv_mask is not None:
+            from ..ops.kmer_jax import unpack_invalid_mask
+
+            bad = unpack_invalid_mask(inv_mask[0], read_len)
+        keys, valid = _local_extract(unpacked, k, n_valid[0], bad)
         send, overflow = _route_to_buckets(keys, valid, d, bucket_cap)
         recv = jax.lax.all_to_all(
             send, axis, split_axis=0, concat_axis=0, tiled=False
@@ -119,17 +139,22 @@ def make_distributed_count(
             overflow > 0,
         )
 
+    in_specs = (P(axis, None, None), P(axis))
+    if with_mask:
+        in_specs = in_specs + (P(axis, None, None),)
     mapped = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(axis, None), P(axis), P(axis), P()),
         check_vma=False,
     )
 
     @jax.jit
-    def step(reads, n_valid):
+    def step(reads, n_valid, inv_mask=None):
         # reads arrive [D, B, L] row-sharded; local shard is [1, B, L]
+        if with_mask:
+            return mapped(reads, n_valid, inv_mask)
         return mapped(reads, n_valid)
 
     return step
@@ -137,7 +162,7 @@ def make_distributed_count(
 
 def _run_distributed_step(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh,
-    bucket_cap: int | None, axis: str,
+    bucket_cap: int | None, axis,
 ):
     """Shared front half of the distributed counters: pad + shard + pack
     the reads, build/run the jitted step, check routing overflow.
@@ -145,7 +170,9 @@ def _run_distributed_step(
     Returns (words, counts, num_unique) device arrays (see
     make_distributed_count).
     """
-    d = mesh.shape[axis]
+    from .mesh import axis_size
+
+    d = axis_size(mesh, axis)
     b, length = reads.shape
     per_dev = -(-b // d)
     padded = per_dev * d
@@ -158,15 +185,24 @@ def _run_distributed_step(
     if bucket_cap is None:
         # expected windows/bucket plus generous skew slack
         bucket_cap = int(windows / d * 1.5) + 64
+    from ..utils.dna import pack_invalid_mask
+
+    inv_mask = pack_invalid_mask(reads)
     step = make_distributed_count(
-        mesh, cfg.k, per_dev, length, bucket_cap, axis
+        mesh, cfg.k, per_dev, length, bucket_cap, axis,
+        with_mask=inv_mask is not None,
     )
     sharding = NamedSharding(mesh, P(axis, None, None))
     packed = pack_codes(reads)
     reads_dev = jax.device_put(
         packed.reshape(d, per_dev, packed.shape[1]), sharding
     )
-    words, counts, num_unique, overflow = step(reads_dev, n_valid)
+    mask_dev = None
+    if inv_mask is not None:
+        mask_dev = jax.device_put(
+            inv_mask.reshape(d, per_dev, inv_mask.shape[1]), sharding
+        )
+    words, counts, num_unique, overflow = step(reads_dev, n_valid, mask_dev)
     if bool(overflow):
         raise RuntimeError(
             "bucket overflow during all-to-all routing; increase bucket_cap"
@@ -176,10 +212,13 @@ def _run_distributed_step(
 
 def distributed_count_to_host(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
-    bucket_cap: int | None = None, axis: str = "d",
+    bucket_cap: int | None = None, axis=None,
 ) -> dict[str, int]:
     """Count reads over the mesh; gather the global table as a host dict."""
-    d = mesh.shape[axis]
+    from .mesh import axis_size, mesh_axes
+
+    axis = axis if axis is not None else mesh_axes(mesh)
+    d = axis_size(mesh, axis)
     words, counts, num_unique = _run_distributed_step(
         reads, cfg, mesh, bucket_cap, axis
     )
@@ -195,7 +234,7 @@ def distributed_count_to_host(
 
 def distributed_count_table(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
-    bucket_cap: int | None = None, axis: str = "d",
+    bucket_cap: int | None = None, axis=None,
 ) -> "count_jax.CountTable":
     """Count reads over the mesh; merge shard tables into one CountTable.
 
@@ -204,6 +243,9 @@ def distributed_count_table(
     reduce-scatter-then-gather step of the north-star design, sized by the
     genome (unique k-mers), not the read stream.
     """
+    from .mesh import mesh_axes
+
+    axis = axis if axis is not None else mesh_axes(mesh)
     words, counts, _ = _run_distributed_step(
         reads, cfg, mesh, bucket_cap, axis
     )
@@ -220,32 +262,46 @@ def assemble_distributed(
     mesh: Mesh | None = None,
     *,
     metrics=None,
+    emit: str = "unitigs",
+    checkpoint: str | None = None,
+    resume_from: str | None = None,
 ) -> list[str]:
     """End-to-end multi-device assembly: reads -> canonical contigs.
 
-    Counting/filtering shards across the mesh; the surviving genome-sized
-    table compresses on a single device by pointer jumping, and only the
-    branchy residue is stitched on host 0 (SURVEY.md §7 M5 + north star).
-    min_count=0 resolves automatically from the multiplicity histogram,
-    exactly as on the single-device and oracle paths. Even k falls back to
-    the host-dict graph.
+    Counting/filtering shards across the mesh (1-level, or a 2-level
+    ('host','chip') pod mesh — collectives flatten over every mesh axis);
+    the surviving genome-sized table compresses on a single device by
+    pointer jumping, and only the branchy residue is stitched on host 0
+    (SURVEY.md §7 M5 + north star). min_count=0 resolves automatically
+    from the multiplicity histogram, exactly as on the single-device and
+    oracle paths. Even k falls back to the host-dict graph.
+
+    checkpoint/resume_from: stage-boundary .npz checkpoint of the merged
+    counted table — the preemption-resume point for pod runs (SURVEY.md §5
+    checkpoint row; VERDICT r1 item 9). Odd-k path only.
     """
-    from ..models.pipeline import auto_min_count
+    from ..models.pipeline import auto_min_count, load_table, save_table
     from ..utils.metrics import Metrics
-    from .mesh import build_mesh
+    from .mesh import build_mesh, num_hosts
 
     m = metrics or Metrics()
     mesh = mesh or build_mesh()
     m.count("reads", reads.shape[0])
     m.count("kmers", reads.shape[0] * (reads.shape[1] - cfg.k + 1))
+    m.count("hosts", num_hosts(mesh))
     if cfg.k % 2 == 1:
         from ..host.dbg import spell_device_unitigs
         from ..host.simplify import simplify_unitigs
         from ..ops.unitig_jax import compress_unitigs_device
 
-        with m.stage("count"):
-            table = distributed_count_table(reads, cfg, mesh)
-            sync(table.num_unique)
+        if resume_from is not None:
+            table = load_table(resume_from)
+        else:
+            with m.stage("count"):
+                table = distributed_count_table(reads, cfg, mesh)
+                sync(table.num_unique)
+        if checkpoint is not None:
+            save_table(table, checkpoint)
         min_count = cfg.min_count or auto_min_count(table)
         with m.stage("filter"):
             table = count_jax.filter_table(table, min_count)
@@ -259,7 +315,7 @@ def assemble_distributed(
                 unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
             )
         with m.stage("traverse"):
-            return emit_contigs(graph)
+            return _emit(graph, emit)
     with m.stage("count"):
         counts = distributed_count_to_host(reads, cfg, mesh)
     min_count = cfg.min_count
@@ -274,4 +330,12 @@ def assemble_distributed(
             kept, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
         )
     with m.stage("traverse"):
-        return emit_contigs(graph)
+        return _emit(graph, emit)
+
+
+def _emit(graph, emit: str) -> list[str]:
+    if emit == "euler":
+        from ..host.traverse import emit_contigs_euler
+
+        return emit_contigs_euler(graph)
+    return emit_contigs(graph)

@@ -25,22 +25,34 @@ import numpy as np
 
 BASES = "ACGT"
 A, C, G, T = 0, 1, 2, 3
+# Ambiguous/invalid bases (N etc.) encode to 4: every k-mer window that
+# touches one is masked to the sentinel key instead of aborting the run
+# (real read sets contain Ns; reference C1 parses plain reads, SURVEY.md
+# §2.1 / VERDICT r1 item 7). Code 4 decodes back to 'N'.
+INVALID_CODE = 4
 
 _ENCODE_LUT = np.full(256, 255, dtype=np.uint8)
 for _i, _b in enumerate(BASES):
     _ENCODE_LUT[ord(_b)] = _i
     _ENCODE_LUT[ord(_b.lower())] = _i
 
-_DECODE_LUT = np.frombuffer(BASES.encode(), dtype=np.uint8)
+_DECODE_LUT = np.frombuffer((BASES + "N").encode(), dtype=np.uint8)
 
 
-def encode_seq(seq: str) -> np.ndarray:
-    """ACGT string -> uint8 code array. Raises on non-ACGT characters."""
+def encode_seq(seq: str, mask_invalid: bool = False) -> np.ndarray:
+    """ACGT string -> uint8 code array.
+
+    mask_invalid=False (strict: simulator/test inputs) raises on any
+    non-ACGT character; mask_invalid=True (real read data) encodes it as
+    INVALID_CODE so downstream extraction masks the affected windows.
+    """
     raw = np.frombuffer(seq.encode(), dtype=np.uint8)
     codes = _ENCODE_LUT[raw]
     if codes.max(initial=0) > 3:
-        bad = seq[int(np.argmax(codes > 3))]
-        raise ValueError(f"non-ACGT character {bad!r} in sequence")
+        if not mask_invalid:
+            bad = seq[int(np.argmax(codes > 3))]
+            raise ValueError(f"non-ACGT character {bad!r} in sequence")
+        codes = np.where(codes > 3, np.uint8(INVALID_CODE), codes)
     return codes
 
 
@@ -104,6 +116,9 @@ def pack_codes(codes: np.ndarray) -> np.ndarray:
     Base j lives in byte j//4 at bit 2*(j%4) (little-endian within the
     byte). Used to quarter host->device transfer volume; the device
     unpacks in one elementwise pass (ops.kmer_jax.unpack_codes).
+
+    INVALID_CODE bases don't fit 2 bits; they pack as their low 2 bits and
+    must be carried separately via pack_invalid_mask.
     """
     b, length = codes.shape
     pad = (-length) % 4
@@ -111,13 +126,32 @@ def pack_codes(codes: np.ndarray) -> np.ndarray:
         codes = np.concatenate(
             [codes, np.zeros((b, pad), dtype=np.uint8)], axis=1
         )
-    quads = codes.reshape(b, -1, 4).astype(np.uint8)
+    quads = (codes & np.uint8(3)).reshape(b, -1, 4)
     return (
         quads[:, :, 0]
         | (quads[:, :, 1] << 2)
         | (quads[:, :, 2] << 4)
         | (quads[:, :, 3] << 6)
     )
+
+
+def pack_invalid_mask(codes: np.ndarray) -> np.ndarray | None:
+    """[B, L] codes -> [B, ceil(L/8)] uint8 bitmask of invalid bases.
+
+    Returns None when every base is valid (the common case — callers then
+    skip the extra transfer entirely; the mask costs 1 bit/base vs the
+    packed reads' 2 bits/base when present).
+    """
+    bad = codes > 3
+    if not bad.any():
+        return None
+    b, length = codes.shape
+    pad = (-length) % 8
+    if pad:
+        bad = np.concatenate(
+            [bad, np.zeros((b, pad), dtype=bool)], axis=1
+        )
+    return np.packbits(bad, axis=1, bitorder="little")
 
 
 def key_words(k: int) -> int:

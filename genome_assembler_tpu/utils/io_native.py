@@ -79,9 +79,11 @@ def available() -> bool:
 def load_reads(path: str) -> np.ndarray | None:
     """Parse + encode a uniform-length read file natively.
 
+    Handles plain-line, FASTA, and FASTQ inputs; ambiguous bases (Ns)
+    encode to INVALID_CODE and their windows are masked downstream.
     Returns [B, L] uint8 codes, or None when the native path doesn't apply
-    (library unavailable, ragged reads, or non-ACGT content — callers then
-    use the Python parser, which raises precise errors).
+    (library unavailable or ragged reads — callers then use the Python
+    parser, which raises precise errors).
     """
     lib = _load()
     if lib is None:
@@ -92,7 +94,7 @@ def load_reads(path: str) -> np.ndarray | None:
     rc = lib.ga_scan_reads(
         path.encode(), ctypes.byref(num), ctypes.byref(rlen), ctypes.byref(bad)
     )
-    if rc != 0 or bad.value or num.value == 0 or rlen.value <= 0:
+    if rc != 0 or num.value == 0 or rlen.value <= 0:
         return None
     out = np.empty((num.value, rlen.value), dtype=np.uint8)
     rc = lib.ga_encode_reads(

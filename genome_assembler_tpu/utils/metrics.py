@@ -60,6 +60,11 @@ class Metrics:
                 out["kmers_per_s"] = self.counters["kmers"] / total
             if "reads" in self.counters:
                 out["reads_per_s"] = self.counters["reads"] / total
+        hosts = self.counters.get("hosts")
+        if hosts and hosts > 0 and "reads_per_s" in out:
+            # weak-scaling bookkeeping (BASELINE.md): pod runs report
+            # per-host throughput so efficiency is a config change to read
+            out["reads_per_s_per_host"] = out["reads_per_s"] / hosts
         count_s = self.stages.get("count")
         if count_s and "count_bytes" in self.counters:
             out["count_bytes_per_s"] = self.counters["count_bytes"] / count_s

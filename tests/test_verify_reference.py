@@ -1,0 +1,147 @@
+"""verify-reference harness (SURVEY.md §0 / VERDICT r1 item 5).
+
+/root/reference is still empty, so the harness is exercised against a fake
+mini-reference: a tiny standalone Python assembler written to the same
+normative semantics. When the real mount populates, the identical plumbing
+runs against it with zero code changes.
+"""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+from genome_assembler_tpu.verify_reference import (
+    find_entry,
+    find_read_sets,
+    parse_contig_output,
+    verify,
+)
+
+# A miniature "reference assembler": error-free path only — dict counting,
+# both-strand graph, unitig emission — matching the oracle's semantics so
+# parity holds on clean reads.
+FAKE_REFERENCE = '''
+import sys
+
+def revcomp(s):
+    return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+def main():
+    k = 25
+    reads = [ln.strip() for ln in open(sys.argv[1]) if ln.strip()]
+    counts = {}
+    for r in reads:
+        for i in range(len(r) - k + 1):
+            km = r[i:i + k]
+            km = min(km, revcomp(km))
+            counts[km] = counts.get(km, 0) + 1
+    edges = {}
+    for km, c in counts.items():
+        edges[km] = c
+        edges[revcomp(km)] = c
+    out = {}
+    indeg = {}
+    for e in edges:
+        out.setdefault(e[:-1], []).append(e)
+        indeg[e[1:]] = indeg.get(e[1:], 0) + 1
+    for v in out.values():
+        v.sort()
+    def junction(n):
+        return indeg.get(n, 0) != 1 or len(out.get(n, ())) != 1
+    done = set()
+    contigs = []
+    for e in sorted(edges):
+        if e in done or not junction(e[:-1]):
+            continue
+        chain = [e]
+        done.add(e)
+        node = e[1:]
+        while not junction(node):
+            nxt = out[node][0]
+            if nxt in done:
+                break
+            chain.append(nxt)
+            done.add(nxt)
+            node = nxt[1:]
+        seq = chain[0] + "".join(c[-1] for c in chain[1:])
+        contigs.append(min(seq, revcomp(seq)))
+    contigs = sorted(set(contigs), key=lambda s: (-len(s), s))
+    for i, c in enumerate(contigs):
+        print(f">contig_{i}")
+        print(c)
+
+if __name__ == "__main__":
+    main()
+'''
+
+
+def _make_fake_reference(tmp_path):
+    ref = tmp_path / "reference"
+    ref.mkdir()
+    (ref / "assembler.py").write_text(textwrap.dedent(FAKE_REFERENCE))
+    (ref / "README.md").write_text("fake reference\n")
+    return str(ref)
+
+
+def test_empty_mount_reports_empty(tmp_path):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    report = verify(str(empty))
+    assert report["status"] == "empty"
+
+
+def test_real_mount_is_checked_every_session():
+    """The standing SURVEY.md §0 check: if /root/reference ever populates,
+    this test fails loudly so the session runs the real parity harness."""
+    ref = "/root/reference"
+    if os.path.isdir(ref) and any(os.scandir(ref)):
+        raise AssertionError(
+            "/root/reference is POPULATED — run "
+            "`ga-tpu verify-reference /root/reference` and validate "
+            "SURVEY.md against the real files before anything else"
+        )
+
+
+def test_find_entry_prefers_assembler_py(tmp_path):
+    ref = _make_fake_reference(tmp_path)
+    assert find_entry(ref).endswith("assembler.py")
+
+
+def test_find_read_sets(tmp_path):
+    ref = _make_fake_reference(tmp_path)
+    os.makedirs(os.path.join(ref, "tests", "data"))
+    with open(os.path.join(ref, "tests", "data", "toy.txt"), "w") as fh:
+        fh.write("ACGT\n")
+    assert find_read_sets(ref) == [
+        os.path.join(ref, "tests", "data", "toy.txt")
+    ]
+
+
+def test_parse_contig_output_fasta_and_lines():
+    assert parse_contig_output(">a\nACGT\nTTTT\n>b\nGGGG\n") == [
+        "ACGTTTTT",
+        "GGGG",
+    ]
+    assert parse_contig_output("loading...\nACGT\nGGGG\n") == ["ACGT", "GGGG"]
+
+
+def test_verify_parity_against_fake_reference(tmp_path):
+    ref = _make_fake_reference(tmp_path)
+    report = verify(ref, k=25)
+    assert report["status"] == "pass", report
+    run = report["runs"][0]
+    assert run["equal"]["oracle"] is True
+    assert run["equal"]["tpu"] is True
+    assert run["reference_contigs"] >= 1
+
+
+def test_verify_detects_mismatch(tmp_path):
+    """A reference that prints a wrong contig must yield MISMATCH."""
+    ref = tmp_path / "badref"
+    ref.mkdir()
+    (ref / "assembler.py").write_text(
+        "print('>c0')\nprint('ACGT' * 30)\n"
+    )
+    report = verify(str(ref), k=25)
+    assert report["status"] == "MISMATCH"
