@@ -160,6 +160,43 @@ def merge_tables(table: CountTable, batch: CountTable) -> CountTable:
     )
 
 
+def snug_capacity(n: int, floor: int = 1 << 16) -> int:
+    """Smallest grid capacity >= n, grid = {1, 1.25, 1.5, 1.75} x 2^k.
+
+    Table capacities are compile-time shapes and axon compiles cost
+    minutes, so capacities snap to a coarse geometric grid: at most 4
+    variants per power of two, <= 25% padding overhead.
+    """
+    if n <= floor:
+        return floor
+    p = 1 << (n - 1).bit_length() - 1  # largest power of two < n (n > 1)
+    for num in (5, 6, 7):
+        if n <= p * num // 4:
+            return p * num // 4
+    return 2 * p
+
+
+def compact_table(table: CountTable) -> CountTable:
+    """Slice a compact-front table down to a snug capacity (host-driven).
+
+    Counting capacities are sized for the read stream (window counts),
+    but the surviving unique k-mers are genome-sized — often 10x smaller.
+    Every downstream sort/gather/doubling pass scales with capacity, so
+    compacting once here (one scalar pull + a device slice) cuts the whole
+    graph stage proportionally. No-op when already snug.
+    """
+    num = int(table.num_unique)
+    cap = snug_capacity(num)
+    if cap >= table.words.shape[0]:
+        return table
+    return CountTable(
+        words=table.words[:cap],
+        counts=table.counts[:cap],
+        num_unique=table.num_unique,
+        overflow=table.overflow,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("min_count",))
 def filter_table(table: CountTable, min_count: int) -> CountTable:
     """Coverage filter (reference C4): drop counts < min_count, recompact.

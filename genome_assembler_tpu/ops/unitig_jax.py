@@ -11,8 +11,9 @@ Pipeline (all static shapes, capacity = 2C directed edges):
   1. both-strand edge table: canonical k-mers + their reverse complements,
      lexicographically sorted — edge id == sorted position;
   2. successor linking: edge e chains into the unique edge whose prefix
-     node equals suffix(e) iff that node has outdeg == indeg == 1, found by
-     lexicographic binary search (prefix order == key order);
+     node equals suffix(e) iff that node has outdeg == indeg == 1, found
+     by one merged sort of tagged prefix/suffix node keys (_link_sortjoin;
+     sorts are the cheapest bulk primitive here — tools/microbench.py);
   3. chain heads via pointer doubling on the predecessor pointers, with
      min-id tracking to break pure cycles deterministically at their
      lexicographically smallest edge (matching host compress_unitigs);
@@ -34,13 +35,7 @@ import numpy as np
 
 from .count_jax import CountTable, sort_by_words
 from .kmer_jax import SENTINEL
-from .words_jax import (
-    build_search_lut,
-    prefix_node,
-    revcomp_words,
-    searchsorted_words_bucketed,
-    suffix_node,
-)
+from .words_jax import prefix_node, revcomp_words, suffix_node
 
 
 class DeviceUnitigs(NamedTuple):
@@ -67,11 +62,16 @@ def _doubling(prev: jax.Array, steps: int, track: str = "dist"):
 
     prev[e] = predecessor edge id or -1. Heads (prev == -1) self-loop, so
     the ancestor converges to the chain head. track selects the second
-    quantity carried along (each costs one extra gather per round):
+    quantity carried along:
       "dist" -> distance from the head (chain offset);
       "min"  -> minimum edge id on the ancestor path (cycle break point —
                 for pure cycles the ancestor keeps rotating and the min
                 covers the whole cycle).
+
+    (anc, aux) ride one [E, 2] array so each round is a single row gather:
+    measured 1.7x faster than two separate gathers on this platform
+    (tools/microbench.py double_packed_rows vs double_2gather), and the
+    gather loop dominates compression wall-clock.
     Returns (ancestor, tracked).
     """
     n = prev.shape[0]
@@ -81,17 +81,24 @@ def _doubling(prev: jax.Array, steps: int, track: str = "dist"):
         aux = (prev >= 0).astype(jnp.int32)
 
         def body(_, state):
-            anc, aux = state
-            return anc[anc], aux + aux[anc]
+            g = state[state[:, 0]]
+            return jnp.stack(
+                [g[:, 0], state[:, 1] + g[:, 1]], axis=1
+            )
 
     else:
         aux = jnp.minimum(ids, anc)
 
         def body(_, state):
-            anc, aux = state
-            return anc[anc], jnp.minimum(aux, aux[anc])
+            g = state[state[:, 0]]
+            return jnp.stack(
+                [g[:, 0], jnp.minimum(state[:, 1], g[:, 1])], axis=1
+            )
 
-    return jax.lax.fori_loop(0, steps, body, (anc, aux))
+    state = jax.lax.fori_loop(
+        0, steps, body, jnp.stack([anc, aux], axis=1)
+    )
+    return state[:, 0], state[:, 1]
 
 
 def _eq_rows(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -120,89 +127,86 @@ def _build_edges(table: CountTable, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _prep_link(edge_words: jax.Array, valid: jax.Array, k: int):
-    """Node keys + the successor-join search LUT."""
-    pre = prefix_node(edge_words, k)  # sorted: prefix of the sort key
+def _link_sortjoin(edge_words: jax.Array, valid: jax.Array, k: int):
+    """prev[] via one merged sort instead of per-lane binary search.
+
+    The r1 linker ran a bucketed lexicographic bisection (12+ gather
+    rounds over the full edge table) plus two extra sorts for in-degrees;
+    random gathers are the slowest primitive on this platform (see
+    tools/microbench.py), so the join is restructured as a single stable
+    sort of 2E tagged rows — prefix entries (tag 0) and suffix entries
+    (tag 1) of every edge — followed by O(E) scans:
+
+      * a key-run's prefix entries all precede its suffix entries, so a
+        suffix lane's out-degree = prefix entries in its run, its unique
+        successor = the run's first payload, and its in-degree = the run
+        length minus the prefix count;
+      * edge e chains into that successor iff outdeg == indeg == 1
+        (module-doc semantics, bit-identical to the r1 linker);
+      * one unique-index scatter writes prev[successor] = e.
+    """
+    e, w = edge_words.shape
+    pre = prefix_node(edge_words, k)
     suf = suffix_node(edge_words, k)
-    # suffix_node(sentinel) would alias the all-T node key and corrupt
-    # degree counts; pin invalid lanes to the sentinel (> any valid node).
+    # invalid lanes: pin both node keys to the sentinel (they form one
+    # shared run whose outdeg == indeg == #invalid != 1, and are excluded
+    # explicitly below as well)
+    pre = jnp.where(valid[:, None], pre, SENTINEL)
     suf = jnp.where(valid[:, None], suf, SENTINEL)
-    pre_lut, pre_max = build_search_lut(pre)
-    return pre, suf, pre_lut, pre_max
 
-
-def _run_lengths_per_lane(keys: jax.Array) -> jax.Array:
-    """For each lane of [E, W] keys: the size of its equal-value group.
-
-    Sort once carrying the lane id, measure runs with scans in the sorted
-    domain, and sort back by lane id — two fast sorts instead of a
-    binary-search join.
-    """
-    e, w = keys.shape
     ids = jnp.arange(e, dtype=jnp.int32)
+    keys = jnp.concatenate([pre, suf], axis=0)
+    tag = jnp.concatenate(
+        [jnp.zeros(e, jnp.uint32), jnp.ones(e, jnp.uint32)]
+    )
+    payload = jnp.concatenate([ids, ids])
     ops = jax.lax.sort(
-        tuple(keys[:, i] for i in range(w)) + (ids,), num_keys=w
+        tuple(keys[:, i] for i in range(w)) + (tag, payload),
+        num_keys=w + 1,
     )
-    sorted_keys = jnp.stack(ops[:w], axis=1)
-    ids_s = ops[w]
-    idx = jnp.arange(e, dtype=jnp.int32)
-    prev = jnp.concatenate(
-        [jnp.full((1, w), SENTINEL, jnp.uint32), sorted_keys[:-1]], axis=0
+    key_s = jnp.stack(ops[:w], axis=1)
+    is_pre = ops[w] == 0
+    pay_s = ops[w + 1]
+    n2 = 2 * e
+    pos = jnp.arange(n2, dtype=jnp.int32)
+
+    prev_key = jnp.concatenate(
+        [jnp.full((1, w), SENTINEL, jnp.uint32), key_s[:-1]], axis=0
     )
-    is_start = jnp.any(sorted_keys != prev, axis=1).at[0].set(True)
-    start_or_inf = jnp.where(is_start, idx, e)
-    next_start = jnp.concatenate(
+    new_key = jnp.any(key_s != prev_key, axis=1).at[0].set(True)
+    run_start = jax.lax.cummax(jnp.where(new_key, pos, -1))
+    start_or_inf = jnp.where(new_key, pos, n2)
+    run_end = jnp.concatenate(
         [jnp.flip(jax.lax.cummin(jnp.flip(start_or_inf)))[1:],
-         jnp.full((1,), e, jnp.int32)]
+         jnp.full((1,), n2, jnp.int32)]
     )
-    my_start = jax.lax.cummax(jnp.where(is_start, idx, -1))
-    runlen_sorted = next_start - my_start
-    # restore lane order: single-int-key sort, run length as payload
-    _, runlen = jax.lax.sort((ids_s, runlen_sorted), num_keys=1)
-    return runlen
+    pre_cum = jnp.cumsum(is_pre.astype(jnp.int32))  # inclusive
+    pre_before_run = jnp.where(
+        run_start > 0, pre_cum[jnp.clip(run_start - 1, 0, n2 - 1)], 0
+    )
+    # at a suffix lane every prefix entry of the run is at or before it
+    outdeg = pre_cum - pre_before_run
+    indeg = (run_end - run_start) - outdeg
+    succ = pay_s[run_start]
+    first_is_pre = is_pre[run_start]
 
-
-@functools.partial(jax.jit, static_argnames=("steps_pre",))
-def _link_main(valid, pre, suf, pre_lut, steps_pre):
-    e = pre.shape[0]
-    ids = jnp.arange(e, dtype=jnp.int32)
-
-    def run_is_one(sorted_keys, lo, q):
-        """length of the equal run of q starting at lo is exactly 1."""
-        first = sorted_keys[jnp.clip(lo, 0, e - 1)]
-        second = sorted_keys[jnp.clip(lo + 1, 0, e - 1)]
-        hit = (lo < e) & _eq_rows(first, q)
-        more = (lo + 1 < e) & _eq_rows(second, q)
-        return hit & ~more
-
-    lo = searchsorted_words_bucketed(pre, suf, pre_lut, steps_pre)
-    out_one = run_is_one(pre, lo, suf)
-    in_one = _run_lengths_per_lane(suf) == 1
-
-    chain = valid & out_one & in_one
-    succ = jnp.where(chain, lo, e)  # e == out-of-bounds, dropped below
-    return jnp.full(e, -1, dtype=jnp.int32).at[succ].set(ids, mode="drop")
-
-
-def _quantized_steps(max_bucket: int) -> int:
-    """Bisection rounds for a bucket of this size, rounded up to x4 to
-    bound the jit-cache variants."""
-    need = int(np.ceil(np.log2(max(max_bucket, 2)))) + 1
-    return min(32, -(-need // 4) * 4)
-
-
-def _link_successors(edge_words: jax.Array, valid: jax.Array, k: int):
-    """prev[e] = unique chain predecessor edge id, or -1 (see module doc).
-
-    The successor lookup is a lower-bound search (outdeg(n)==1 iff the run
-    at lower_bound(n) has length 1) seeded from a 16-bit-prefix LUT — one
-    scalar pull picks the static round count. The indegree test needs only
-    per-lane run lengths of the suffix keys, which two fast sorts + scans
-    compute without any searching.
-    """
-    pre, suf, pre_lut, pre_max = _prep_link(edge_words, valid, k)
-    steps_pre = _quantized_steps(int(pre_max))
-    return _link_main(valid, pre, suf, pre_lut, steps_pre)
+    sentinel_run = key_s[:, 0] == SENTINEL
+    for i in range(1, w):
+        sentinel_run &= key_s[:, i] == SENTINEL
+    good = (
+        ~is_pre
+        & first_is_pre
+        & (outdeg == 1)
+        & (indeg == 1)
+        & ~sentinel_run
+    )
+    # prev[successor] = this suffix lane's edge; indices unique since the
+    # successor's node has indeg == 1
+    return (
+        jnp.full(e, -1, dtype=jnp.int32)
+        .at[jnp.where(good, succ, e)]
+        .set(pay_s, mode="drop")
+    )
 
 
 def _steps_for(e: int) -> int:
@@ -360,7 +364,7 @@ def compress_unitigs_device(table: CountTable, k: int) -> DeviceUnitigs:
             "reduce table capacity or use the distributed path"
         )
     edge_words, covs, valid = _build_edges(table, k)
-    prev = _link_successors(edge_words, valid, k)
+    prev = _link_sortjoin(edge_words, valid, k)
     uid, pos, num = _resolve_chains(prev, valid)
     return DeviceUnitigs(
         edge_words=edge_words,

@@ -304,7 +304,10 @@ def assemble_distributed(
             save_table(table, checkpoint)
         min_count = cfg.min_count or auto_min_count(table)
         with m.stage("filter"):
+            if not bool(table.overflow):
+                table = count_jax.compact_table(table)
             table = count_jax.filter_table(table, min_count)
+            table = count_jax.compact_table(table)
         with m.stage("compress"):
             dev = compress_unitigs_device(table, cfg.k)
             sync(dev.num_unitigs)
