@@ -70,6 +70,9 @@ def main() -> int:
     # are staged on device before the timed region — the ~40 MB/s tunnel
     # transfer is reported separately, not folded into the kernel rate.
     packed = pack_codes(reads)
+    # touch the device first: the first program on a fresh axon process
+    # pays a ~10 min one-time init that must not masquerade as transfer
+    sync(jax.jit(lambda x: x + 1)(jnp.zeros(8, jnp.int32)))
     t0 = time.perf_counter()
     reads_dev = jax.device_put(packed)
     sync(reads_dev[0, :1])
@@ -90,6 +93,50 @@ def main() -> int:
         times.append(time.perf_counter() - t0)
     best = min(times)
     kmers_per_s = n_windows / best
+
+    # Pallas vs XLA extraction, isolated (VERDICT r1 item 10): same staged
+    # reads, same key contract; a cheap reduce forces full key production.
+    extract_cmp = {}
+    if jax.default_backend() != "cpu":
+        from genome_assembler_tpu.ops.kmer_jax import extract_canonical_flat
+        from genome_assembler_tpu.ops.kmer_pallas import (
+            extract_canonical_flat_pallas,
+        )
+
+        pad_b = -(-reads.shape[0] // 256) * 256
+        reads_pad = np.zeros((pad_b, read_len), np.uint8)
+        reads_pad[: reads.shape[0]] = reads
+        reads_pad_dev = jax.device_put(reads_pad)
+        nv = np.int32(reads.shape[0])
+
+        def timed(fn, *args):
+            out = fn(*args)
+            sync(out)
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn(*args)
+                sync(out)
+                times.append(time.perf_counter() - t0)
+            return min(times)
+
+        xla_fn = jax.jit(
+            lambda r: extract_canonical_flat(r, k, nv)[0].sum()
+        )
+        pls_fn = jax.jit(
+            lambda r: extract_canonical_flat_pallas(r, k, nv)[0].sum()
+        )
+        try:
+            xla_s = timed(xla_fn, reads_pad_dev)
+            pls_s = timed(pls_fn, reads_pad_dev)
+            extract_cmp = {
+                "extract_xla_s": round(xla_s, 4),
+                "extract_pallas_s": round(pls_s, 4),
+                "extract_xla_kmers_per_s": round(n_windows / xla_s, 1),
+                "extract_pallas_kmers_per_s": round(n_windows / pls_s, 1),
+            }
+        except Exception as e:  # pallas unavailable on this backend
+            extract_cmp = {"extract_pallas_error": f"{type(e).__name__}: {e}"}
 
     # Measured achievable stream bandwidth on this device (the tunnel caps
     # it far below nominal HBM): one elementwise pass over key-sized data.
@@ -119,6 +166,12 @@ def main() -> int:
     from genome_assembler_tpu.utils.dna import decode_seq
     from genome_assembler_tpu.utils.metrics import Metrics
 
+    # Cold pass compiles every stage's fresh shapes (minutes on axon);
+    # the warm pass is the steady-state rate production runs see.
+    mm_cold = Metrics()
+    t0 = time.perf_counter()
+    contigs = assemble_tpu(reads, cfg, metrics=mm_cold)
+    asm_cold_s = time.perf_counter() - t0
     mm = Metrics()
     t0 = time.perf_counter()
     contigs = assemble_tpu(reads, cfg, metrics=mm)
@@ -158,9 +211,14 @@ def main() -> int:
             "assemble_stages_s": {
                 name: round(v, 2) for name, v in mm.stages.items()
             },
+            "assemble_cold_s": round(asm_cold_s, 2),
+            "assemble_cold_stages_s": {
+                name: round(v, 2) for name, v in mm_cold.stages.items()
+            },
             "contigs": stats["contigs"],
             "n50": stats["n50"],
             "exact_match": exact,
+            **extract_cmp,
         },
     }
     print(json.dumps(result))

@@ -178,11 +178,18 @@ def cmd_assemble(args) -> int:
             raise SystemExit("--backend dist requires uniform-length reads")
         init_distributed()  # multi-process launch when GA_DIST=1
         metrics = Metrics()
-        contigs = assemble_distributed(
-            reads, cfg, build_mesh(args.devices, hosts=args.hosts),
-            metrics=metrics, emit=args.emit,
-            checkpoint=args.checkpoint, resume_from=args.resume_from,
-        )
+        mesh = build_mesh(args.devices, hosts=args.hosts)
+        if args.sharded_graph:
+            from .parallel.pipeline import assemble_distributed_sharded
+
+            contigs = assemble_distributed_sharded(
+                reads, cfg, mesh, metrics=metrics, emit=args.emit
+            )
+        else:
+            contigs = assemble_distributed(
+                reads, cfg, mesh, metrics=metrics, emit=args.emit,
+                checkpoint=args.checkpoint, resume_from=args.resume_from,
+            )
     else:  # tpu
         from .models.pipeline import assemble_tpu
         from .utils.metrics import Metrics
@@ -268,6 +275,9 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--hosts", type=int, default=None,
                     help="build a 2-level (host, chip) mesh with this many "
                     "hosts (--backend dist; pod runs pair it with GA_DIST=1)")
+    pa.add_argument("--sharded-graph", action="store_true",
+                    help="keep the graph sharded through compression "
+                    "(per-device memory ~1/D; --backend dist, odd k)")
     pa.add_argument("--out", default=None, help="contigs FASTA (default stdout)")
     pa.add_argument("--metrics-out", default=None,
                     help="write per-stage metrics JSON here")

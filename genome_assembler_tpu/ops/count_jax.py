@@ -101,9 +101,28 @@ def _segment_reduce(
     real_start = is_start & ~sent
     counts = jnp.where(real_start, counts, 0)
     unique = jnp.where(real_start[:, None], words_sorted, SENTINEL)
-    unique, counts = sort_by_words(unique, counts)
+    unique, counts = compact_front(real_start, unique, counts)
     num_unique = jnp.sum(real_start.astype(jnp.int32))
     return unique, counts, num_unique
+
+
+def compact_front(
+    keep: jax.Array, words: jax.Array, *payloads: jax.Array
+) -> tuple[jax.Array, ...]:
+    """Stable-compact kept rows to the front (drop rows sink, order kept).
+
+    A single-key stable sort on the drop flag: kept rows keep their
+    relative (already lexicographic) order, dropped rows sink. Cheaper
+    than re-sorting on the full W-word key, and sort cost here is nearly
+    flat in payload count (tools/microbench.py).
+    """
+    w = words.shape[1]
+    drop = (~keep).astype(jnp.uint32)
+    out = jax.lax.sort(
+        (drop,) + tuple(words[:, i] for i in range(w)) + payloads,
+        num_keys=1,
+    )
+    return (jnp.stack(out[1 : 1 + w], axis=1),) + tuple(out[1 + w :])
 
 
 @jax.jit
@@ -209,7 +228,7 @@ def filter_table(table: CountTable, min_count: int) -> CountTable:
     w = table.words.shape[1]
     words = jnp.where(keep[:, None], table.words, SENTINEL)
     counts = jnp.where(keep, table.counts, 0)
-    words_sorted, counts_sorted = sort_by_words(words, counts)
+    words_sorted, counts_sorted = compact_front(keep, words, counts)
     num = jnp.sum(keep.astype(jnp.int32))
     return CountTable(
         words=words_sorted.reshape(n, w),

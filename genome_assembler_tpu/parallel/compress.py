@@ -1,0 +1,444 @@
+"""Sharded unitig compression: the graph never gathers onto one device.
+
+VERDICT r1 item 6 / SURVEY.md §5 long-context row: the r1 distributed path
+counted shard-wise but then gathered every shard to one device for
+compression, bounding graph size by a single chip's HBM. Here every
+compression stage stays sharded over the mesh; per-device memory is a set
+of static [K]-row buffers with K = edges/device, so capacity scales ~1/D
+(see ``peak_rows_per_device`` — shapes are static, so the scaling claim is
+shape arithmetic, and tests pin it).
+
+Layout: device d owns edge rows with global ids [d*K, (d+1)*K); owner and
+slot of any id are one divide/mod — no directory. Stages, all under one
+``shard_map``:
+
+  1. local both-strand edge build + local sort (zero comms);
+  2. successor linking: every edge emits (prefix-node, id) and
+     (suffix-node, id) records, all-to-all'd to the node's hash owner;
+     each owner runs the r1 sort-join (ops.unitig_jax._link_sortjoin
+     semantics) on its received records and routes prev-pointers back to
+     the predecessor's owner;
+  3. pointer doubling over global ids: each round deduplicates local
+     ancestor targets (sort + scans), all-to-alls the unique queries to
+     their owners, answers with a local row gather, and all-to-alls back —
+     two collectives per round, O(K) rows each;
+  4. unitig numbering: head counts all-gather into global offsets; one
+     more query round fetches uid(anc) for every edge;
+  5. spelling: each device emits fixed-size per-edge quads
+     (uid, pos, base, cov) + head rows; the host assembles strings with
+     NumPy (host RAM, not HBM, is the only O(E) consumer).
+
+Cycle handling matches the single-device path bit for bit: a doubling pass
+detects cycles by distance overflow, a min-id pass breaks each cycle at
+its smallest global edge id, and the distance pass reruns.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.count_jax import CountTable, compact_front, sort_by_words
+from ..ops.hash import mix_words
+from ..ops.kmer_jax import SENTINEL
+from ..ops.words_jax import prefix_node, revcomp_words, suffix_node
+from ..utils.dna import key_words
+from .mesh import axis_size, mesh_axes
+
+BIG = jnp.int32(2**30)  # +inf for int32 id lanes (sorts last)
+
+
+def _eq_rows(a, b):
+    eq = a[:, 0] == b[:, 0]
+    for i in range(1, a.shape[1]):
+        eq &= a[:, i] == b[:, i]
+    return eq
+
+
+def _run_bounds(new_flag, n):
+    """(run_start, run_end) per lane for runs delimited by new_flag."""
+    pos = jnp.arange(n, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(new_flag, pos, -1))
+    start_or_inf = jnp.where(new_flag, pos, n)
+    run_end = jnp.concatenate(
+        [jnp.flip(jax.lax.cummin(jnp.flip(start_or_inf)))[1:],
+         jnp.full((1,), n, jnp.int32)]
+    )
+    return run_start, run_end
+
+
+def _bucket_pack(values, owner, valid, d, cap):
+    """Pack rows into a [d, cap, ...] send buffer by owner bucket.
+
+    values: [N, C] int32 (C columns packed together); owner: [N] int32;
+    scatter-free: sort by (invalid, owner) and gather contiguous runs.
+    Returns (send [d, cap, C], overflow).
+    """
+    n, c = values.shape
+    inv = (~valid).astype(jnp.uint32)
+    ops = jax.lax.sort(
+        (inv, owner.astype(jnp.uint32))
+        + tuple(values[:, i] for i in range(c)),
+        num_keys=2,
+    )
+    owner_sorted = ops[1]
+    vals_sorted = jnp.stack(ops[2:], axis=1)
+    valid_sorted = ops[0] == 0
+    owner_or_inf = jnp.where(valid_sorted, owner_sorted, jnp.uint32(d))
+    ids = jnp.arange(d, dtype=jnp.uint32)
+    starts = jnp.searchsorted(owner_or_inf, ids, side="left")
+    ends = jnp.searchsorted(owner_or_inf, ids, side="right")
+    per = (ends - starts).astype(jnp.int32)
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    src = jnp.clip(starts.astype(jnp.int32)[:, None] + slot[None, :], 0, n - 1)
+    in_run = slot[None, :] < per[:, None]
+    send = vals_sorted[src.reshape(-1)].reshape(d, cap, c)
+    # pad with -1: as uint32 key words that is the sentinel (whose run the
+    # join already excludes), as an id lane it fails every (x >= 0) check
+    send = jnp.where(in_run[..., None], send, -1)
+    return send, jnp.any(per > cap)
+
+
+def _answer_queries(state, recv, k_cap):
+    """Owner side of a query round: state rows for received global ids."""
+    slot = jnp.clip(recv % k_cap, 0, k_cap - 1)
+    ans = state[slot.reshape(-1)].reshape(recv.shape + (state.shape[-1],))
+    return jnp.where((recv >= 0)[..., None] & (recv < BIG)[..., None], ans, -1)
+
+
+def make_sharded_compress(
+    mesh: Mesh, k: int, c_shard: int, axis=None
+):
+    """Build the jitted sharded compression step.
+
+    Input: per-device filtered table shards as global row-sharded arrays
+    (words [D*C, W], counts [D*C]). Output (all row-sharded [D*K] with
+    K = 2*C): valid, uid, pos, cov, last base, is_head flag, plus
+    head_words for spelling. Everything static-shape; routing overflows
+    are flagged, never silent.
+    """
+    axis = axis if axis is not None else mesh_axes(mesh)
+    d = axis_size(mesh, axis)
+    w = key_words(k)
+    k_cap = 2 * c_shard  # per-device directed-edge capacity
+    if d * k_cap >= (1 << 29):
+        raise ValueError("global edge table exceeds int32 doubling range")
+    # per-owner caps (expected/D with slack; overflow-checked)
+    cap_join = int(2 * k_cap / d * 1.6) + 128
+    cap_pair = int(k_cap / d * 1.6) + 128
+    cap_query = int(k_cap / d * 2.0) + 128
+    steps = max(1, int(math.ceil(math.log2(max(d * k_cap, 2)))) + 1)
+
+    def owner_of(gid):
+        return (gid // k_cap).astype(jnp.uint32)
+
+    def local_edges(words, counts):
+        """Both-strand local edge table, locally sorted."""
+        c = words.shape[0]
+        lane = jnp.arange(c, dtype=jnp.int32)
+        is_real = ~_eq_rows(words, jnp.broadcast_to(
+            jnp.full((1, w), SENTINEL, jnp.uint32), words.shape))
+        rc = revcomp_words(words, k)
+        rc = jnp.where(is_real[:, None], rc, SENTINEL)
+        edge_words = jnp.concatenate([words, rc], axis=0)
+        covs = jnp.concatenate([counts, counts], axis=0)
+        covs = jnp.where(jnp.concatenate([is_real, is_real]), covs, 0)
+        edge_words, covs = sort_by_words(edge_words, covs)
+        valid = ~_eq_rows(edge_words, jnp.broadcast_to(
+            jnp.full((1, w), SENTINEL, jnp.uint32), edge_words.shape))
+        return edge_words, covs, valid
+
+    def link(edge_words, valid, my_gid):
+        """prev[K] (global ids, -1 none) via node-owner all-to-all join."""
+        pre = jnp.where(valid[:, None], prefix_node(edge_words, k), SENTINEL)
+        suf = jnp.where(valid[:, None], suffix_node(edge_words, k), SENTINEL)
+        # records: node key words + tag + global edge id
+        keys = jnp.concatenate([pre, suf], axis=0)
+        tag = jnp.concatenate(
+            [jnp.zeros(k_cap, jnp.int32), jnp.ones(k_cap, jnp.int32)]
+        )
+        gid2 = jnp.concatenate([my_gid, my_gid])
+        node_owner = (mix_words(keys) % jnp.uint32(d)).astype(jnp.int32)
+        rec = jnp.concatenate(
+            [keys.astype(jnp.int32), tag[:, None], gid2[:, None]], axis=1
+        )
+        rec_valid = jnp.concatenate([valid, valid])
+        send, ovf1 = _bucket_pack(
+            rec, node_owner, rec_valid, d, cap_join
+        )
+        recv = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=False
+        ).reshape(d * cap_join, w + 2)
+
+        # sort received records by (node key, tag); BIG-padded lanes sink
+        rkeys = recv[:, :w].astype(jnp.uint32)
+        rtag = recv[:, w].astype(jnp.uint32)
+        rgid = recv[:, w + 1]
+        ops = jax.lax.sort(
+            tuple(rkeys[:, i] for i in range(w)) + (rtag, rgid),
+            num_keys=w + 1,
+        )
+        key_s = jnp.stack(ops[:w], axis=1)
+        is_pre = ops[w] == 0
+        pay = ops[w + 1]
+        n2 = d * cap_join
+        prev_key = jnp.concatenate(
+            [jnp.full((1, w), 0xFFFFFFFF, jnp.uint32), key_s[:-1]], axis=0
+        )
+        new_key = jnp.any(key_s != prev_key, axis=1).at[0].set(True)
+        run_start, run_end = _run_bounds(new_key, n2)
+        pre_cum = jnp.cumsum(is_pre.astype(jnp.int32))
+        pre_before = jnp.where(
+            run_start > 0, pre_cum[jnp.clip(run_start - 1, 0, n2 - 1)], 0
+        )
+        outdeg = pre_cum - pre_before
+        indeg = (run_end - run_start) - outdeg
+        succ = pay[run_start]
+        first_is_pre = is_pre[run_start]
+        # padding lanes carry the sentinel key too (see _bucket_pack)
+        sent_run = _eq_rows(key_s, jnp.broadcast_to(
+            jnp.full((1, w), SENTINEL, jnp.uint32), key_s.shape))
+        good = (
+            ~is_pre & first_is_pre & (outdeg == 1) & (indeg == 1)
+            & ~sent_run
+        )
+        # pair (successor gid, predecessor gid) -> successor's owner
+        pair = jnp.stack([succ, pay], axis=1)
+        send2, ovf2 = _bucket_pack(pair, owner_of(succ).astype(jnp.int32), good, d, cap_pair)
+        recv2 = jax.lax.all_to_all(
+            send2, axis, split_axis=0, concat_axis=0, tiled=False
+        ).reshape(d * cap_pair, 2)
+        tgt = recv2[:, 0]
+        ok = (tgt >= 0) & (tgt < BIG)
+        slot = jnp.where(ok, tgt % k_cap, k_cap)
+        prev = (
+            jnp.full(k_cap, -1, jnp.int32)
+            .at[slot]
+            .set(jnp.where(ok, recv2[:, 1], -1), mode="drop")
+        )
+        return prev, ovf1 | ovf2
+
+    def query_round(state, targets_needed, valid):
+        """Fetch state rows for per-lane global-id targets (deduplicated).
+
+        Returns ([K, S] answers aligned to input lanes, overflow).
+        """
+        n = targets_needed.shape[0]
+        lane = jnp.arange(n, dtype=jnp.int32)
+        t = jnp.where(valid, targets_needed, BIG)
+        # dedupe: sort targets (carrying lane), rank runs
+        ts, lane_s = jax.lax.sort((t, lane), num_keys=1)
+        new = jnp.concatenate(
+            [jnp.ones(1, bool), ts[1:] != ts[:-1]]
+        )
+        uniq_rank_sorted = jnp.cumsum(new.astype(jnp.int32)) - 1
+        # unique targets compacted to front (still ascending)
+        uniq_t = jnp.where(new, ts, BIG)
+        (uniq_t,) = jax.lax.sort((uniq_t,), num_keys=1)
+        # per-lane unique rank, restored to lane order
+        _, uniq_rank = jax.lax.sort((lane_s, uniq_rank_sorted), num_keys=1)
+
+        # owner ranges over the sorted unique targets
+        uniq_owner = jnp.where(
+            uniq_t < BIG, (uniq_t // k_cap).astype(jnp.uint32), jnp.uint32(d)
+        )
+        ids = jnp.arange(d, dtype=jnp.uint32)
+        starts = jnp.searchsorted(uniq_owner, ids, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(uniq_owner, ids, side="right").astype(jnp.int32)
+        per = ends - starts
+        ovf = jnp.any(per > cap_query)
+        slot = jnp.arange(cap_query, dtype=jnp.int32)
+        src = jnp.clip(starts[:, None] + slot[None, :], 0, n - 1)
+        in_run = slot[None, :] < per[:, None]
+        send = jnp.where(in_run, uniq_t[src.reshape(-1)].reshape(d, cap_query), BIG)
+
+        recv = jax.lax.all_to_all(
+            send[..., None], axis, split_axis=0, concat_axis=0, tiled=False
+        )[..., 0]
+        ans = _answer_queries(state, recv, k_cap)
+        resp = jax.lax.all_to_all(
+            ans, axis, split_axis=0, concat_axis=0, tiled=False
+        )  # [d, cap_query, S]: my bucket-b unique answers
+
+        # unique i -> (owner o, slot i - starts[o]) -> flat resp index
+        o = jnp.clip(uniq_owner.astype(jnp.int32), 0, d - 1)
+        flat = o * cap_query + jnp.clip(
+            jnp.arange(n, dtype=jnp.int32) - starts[o], 0, cap_query - 1
+        )
+        ans_uniq = resp.reshape(d * cap_query, -1)[flat]
+        return ans_uniq[uniq_rank], ovf
+
+    def double(prev, valid, track):
+        """Distributed pointer doubling; returns (anc, aux, overflow)."""
+        my_gid = (
+            jax.lax.axis_index(axis).astype(jnp.int32) * k_cap
+            + jnp.arange(k_cap, dtype=jnp.int32)
+        )
+        anc = jnp.where(prev >= 0, prev, my_gid)
+        if track == "dist":
+            aux = (prev >= 0).astype(jnp.int32)
+        else:
+            aux = jnp.minimum(my_gid, anc)
+        state = jnp.stack([anc, aux], axis=1)
+
+        def body(_, carry):
+            state, ovf = carry
+            ans, o = query_round(state, state[:, 0], valid)
+            anc2 = jnp.where(valid, ans[:, 0], state[:, 0])
+            if track == "dist":
+                aux2 = jnp.where(valid, state[:, 1] + ans[:, 1], state[:, 1])
+            else:
+                aux2 = jnp.where(
+                    valid, jnp.minimum(state[:, 1], ans[:, 1]), state[:, 1]
+                )
+            return jnp.stack([anc2, aux2], axis=1), ovf | o
+
+        state, ovf = jax.lax.fori_loop(
+            0, steps, body, (state, jnp.asarray(False))
+        )
+        return state[:, 0], state[:, 1], ovf
+
+    def step(words_sh, counts_sh):
+        words = words_sh.reshape(c_shard, w)
+        counts = counts_sh.reshape(c_shard)
+        my_d = jax.lax.axis_index(axis).astype(jnp.int32)
+        my_gid = my_d * k_cap + jnp.arange(k_cap, dtype=jnp.int32)
+
+        edge_words, covs, valid = local_edges(words, counts)
+        prev, ovf = link(edge_words, valid, my_gid)
+        prev = jnp.where(valid, prev, -1)
+
+        anc, dist, o1 = double(prev, valid, "dist")
+        has_cycle = jax.lax.pmax(
+            jnp.any(valid & (dist >= (1 << min(steps, 29)))).astype(jnp.int32),
+            axis,
+        ) > 0
+
+        def with_break(_):
+            _, mn, _o = double(prev, valid, "min")
+            # in_cycle: my ancestor still has a predecessor
+            pstate = jnp.stack([prev, prev], axis=1)
+            pans, _o2 = query_round(pstate, anc, valid)
+            in_cycle = valid & (pans[:, 0] >= 0)
+            prev2 = jnp.where(in_cycle & (my_gid == mn), -1, prev)
+            anc2, dist2, _o3 = double(prev2, valid, "dist")
+            return prev2, anc2, dist2
+
+        def no_break(_):
+            return prev, anc, dist
+
+        prev, anc, dist = jax.lax.cond(has_cycle, with_break, no_break, None)
+
+        # global unitig numbering
+        heads = valid & (prev == -1)
+        n_heads = jnp.sum(heads.astype(jnp.int32))
+        # flatten: all_gather over a tuple axis stacks one dim per axis
+        all_counts = jax.lax.all_gather(n_heads, axis).reshape(-1)  # [d]
+        my_off = jnp.sum(
+            jnp.where(jnp.arange(d) < my_d, all_counts, 0)
+        )
+        head_rank = jnp.cumsum(heads.astype(jnp.int32)) - 1 + my_off
+        uid_state = jnp.stack(
+            [jnp.where(heads, head_rank, -1)] * 2, axis=1
+        )
+        uans, o2 = query_round(uid_state, anc, valid)
+        uid = jnp.where(valid, uans[:, 0], -1)
+
+        num_unitigs = jnp.sum(all_counts)
+        overflow = jax.lax.pmax(
+            (ovf | o1 | o2).astype(jnp.int32), axis
+        ) > 0
+        last_base = (edge_words[:, -1] & jnp.uint32(3)).astype(jnp.uint8)
+        return (
+            valid, uid, dist, covs, last_base, heads,
+            edge_words, num_unitigs[None], overflow,
+        )
+
+    spec_row = P(axis)
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(
+            spec_row, spec_row, spec_row, spec_row, spec_row, spec_row,
+            P(axis, None), P(axis), P(),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def peak_rows_per_device(d: int, c_shard: int) -> int:
+    """Largest per-device buffer rows in the sharded compression.
+
+    All buffers are static shapes proportional to c_shard = C_global/D, so
+    per-device memory scales ~1/D; tests pin this arithmetic.
+    """
+    k_cap = 2 * c_shard
+    cap_join = int(2 * k_cap / d * 1.6) + 128
+    return max(2 * k_cap, d * cap_join)
+
+
+def spell_quads_host(
+    valid, uid, pos, cov, last_base, heads, edge_words, num_unitigs, k
+):
+    """Assemble host Unitig objects from gathered per-edge quads.
+
+    Host-RAM NumPy; mirrors host.dbg.spell_device_unitigs' output exactly
+    (same ordering and coverage semantics) so the downstream simplify/
+    traverse stages are shared.
+    """
+    from ..host.dbg import Unitig, _DECODE_LUT
+
+    valid = np.asarray(valid)
+    uid = np.asarray(uid)[valid]
+    pos = np.asarray(pos)[valid]
+    cov = np.asarray(cov)[valid]
+    base = np.asarray(last_base)[valid]
+    heads = np.asarray(heads)[valid]
+    words = np.asarray(edge_words)[valid]
+    u = int(num_unitigs)
+    w = words.shape[1]
+
+    order = np.lexsort((pos, uid))
+    uid_o = uid[order]
+    base_o = base[order]
+    lengths = np.bincount(uid_o, minlength=u).astype(np.int64)
+    cov_sum = np.bincount(uid_o, weights=cov.astype(np.float64), minlength=u)
+    head_words = np.zeros((u, w), dtype=np.uint32)
+    head_words[uid[heads]] = words[heads]
+
+    str_len = (k - 1) + lengths
+    offsets = np.zeros(u + 1, dtype=np.int64)
+    np.cumsum(str_len, out=offsets[1:])
+    buf = np.empty(int(offsets[-1]), dtype=np.uint8)
+    body_excl = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    total_body = int(lengths.sum())
+    dest = (
+        np.repeat(offsets[:-1] + (k - 1), lengths)
+        + np.arange(total_body, dtype=np.int64)
+        - np.repeat(body_excl, lengths)
+    )
+    buf[dest] = base_o
+    head_off = offsets[:-1]
+    for j in range(k - 1):
+        bitpos = 2 * (k - 1 - j)
+        widx = w - 1 - bitpos // 32
+        b = (head_words[:, widx] >> np.uint32(bitpos % 32)) & np.uint32(3)
+        buf[head_off + j] = b.astype(np.uint8)
+    raw = _DECODE_LUT[buf].tobytes()
+    return [
+        Unitig(
+            seq=raw[offsets[i] : offsets[i + 1]].decode(),
+            cov=cov_sum[i] / lengths[i],
+            edges=int(lengths[i]),
+            k=k,
+        )
+        for i in range(u)
+    ]

@@ -256,6 +256,133 @@ def distributed_count_table(
     return count_jax.count_keys(words_h, counts_h)
 
 
+def _shard_filter_compact(mesh, axis, d: int, c_shard: int, min_count: int):
+    """Per-shard coverage filter + front-compaction (zero comms)."""
+    from ..ops.count_jax import compact_front
+
+    def local(words, counts):
+        keep = counts >= min_count
+        words2 = jnp.where(keep[:, None], words, SENTINEL)
+        counts2 = jnp.where(keep, counts, 0)
+        words2, counts2 = compact_front(keep, words2, counts2)
+        return words2, counts2, jnp.sum(keep.astype(jnp.int32))[None]
+
+    return jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+        check_vma=False,
+    ))
+
+
+def _shard_hist(mesh, axis, cap: int = 1000):
+    """Per-shard multiplicity histogram (sort + boundary search), summed
+    across shards on the host — the auto-threshold input without pulling
+    any count column off-device."""
+    def local(counts):
+        c = jnp.sort(jnp.minimum(counts, cap).astype(jnp.uint32))
+        edges = jnp.arange(cap + 2, dtype=jnp.uint32)
+        bounds = jnp.searchsorted(c, edges)
+        return (bounds[1:] - bounds[:-1])[None].astype(jnp.int32)
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(axis),), out_specs=P(axis, None),
+        check_vma=False,
+    ))
+
+
+def assemble_distributed_sharded(
+    reads: np.ndarray,
+    cfg: AssemblyConfig,
+    mesh: Mesh | None = None,
+    *,
+    metrics=None,
+    emit: str = "unitigs",
+    bucket_cap: int | None = None,
+) -> list[str]:
+    """Fully sharded assembly: the graph never gathers onto one device.
+
+    Counting, filtering, edge building, successor linking, pointer
+    doubling, and unitig numbering all run shard-wise over the mesh
+    (parallel.compress); per-device memory scales ~1/D. The host receives
+    only fixed-size per-edge spell quads and the branchy residue. Requires
+    odd k (device compression invariant, ops.unitig_jax).
+    """
+    from ..host.simplify import simplify_unitigs
+    from ..models.pipeline import auto_min_count
+    from ..ops.count_jax import snug_capacity
+    from ..utils.metrics import Metrics
+    from .compress import make_sharded_compress, spell_quads_host
+    from .mesh import axis_size, build_mesh, mesh_axes, num_hosts
+
+    if cfg.k % 2 == 0:
+        raise ValueError("sharded compression requires odd k")
+    from ..utils.jaxenv import sync as _sync
+
+    m = metrics or Metrics()
+    mesh = mesh or build_mesh()
+    axis = mesh_axes(mesh)
+    d = axis_size(mesh, axis)
+    m.count("reads", reads.shape[0])
+    m.count("kmers", reads.shape[0] * (reads.shape[1] - cfg.k + 1))
+    m.count("hosts", num_hosts(mesh))
+
+    with m.stage("count"):
+        words, counts, num_unique = _run_distributed_step(
+            reads, cfg, mesh, bucket_cap, axis
+        )
+        _sync(counts[:1])
+    w = key_words(cfg.k)
+    c_shard = words.shape[0] // d
+
+    with m.stage("filter"):
+        min_count = cfg.min_count
+        if min_count == 0:
+            hist = np.asarray(_shard_hist(mesh, axis)(counts)).reshape(
+                d, -1
+            ).sum(axis=0)
+            nz = np.nonzero(hist)[0]
+            vals = np.repeat(nz, hist[nz])
+            min_count = auto_min_count(vals)
+        words, counts, kept = _shard_filter_compact(
+            mesh, axis, d, c_shard, min_count
+        )(words, counts)
+        # shrink every shard to one snug uniform capacity
+        new_c = min(
+            c_shard, snug_capacity(int(np.asarray(kept).max()))
+        )
+        if new_c < c_shard:
+            words = words.reshape(d, c_shard, w)[:, :new_c].reshape(
+                d * new_c, w
+            )
+            counts = counts.reshape(d, c_shard)[:, :new_c].reshape(-1)
+            c_shard = new_c
+
+    with m.stage("compress"):
+        compress = make_sharded_compress(mesh, cfg.k, c_shard, axis)
+        (
+            valid, uid, pos, cov, last_base, heads,
+            edge_words, num_unitigs, overflow,
+        ) = compress(words, counts)
+        _sync(num_unitigs[:1])
+        if bool(overflow):
+            raise RuntimeError(
+                "sharded compression routing overflow; increase slack caps"
+            )
+    with m.stage("spell"):
+        unitigs = spell_quads_host(
+            valid, uid, pos, cov, last_base, heads, edge_words,
+            int(np.asarray(num_unitigs)[0]), cfg.k,
+        )
+    with m.stage("simplify"):
+        graph = simplify_unitigs(
+            unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+        )
+    with m.stage("traverse"):
+        return _emit(graph, emit)
+
+
 def assemble_distributed(
     reads: np.ndarray,
     cfg: AssemblyConfig,
