@@ -180,11 +180,17 @@ def spell_device_unitigs(dev, k: int, u_cap: int | None = None) -> list[Unitig]:
     u_cap bounds the per-unitig transfer; on overflow the cap doubles and
     the (cheap, device-side) reduction reruns.
     """
+    from ..ops.count_jax import snug_capacity
     from ..ops.unitig_jax import spell_arrays
 
     e = dev.edge_words.shape[0]
     w = dev.edge_words.shape[1]
-    cap = min(e, u_cap or (1 << 21))
+    # num_unitigs is already on host-reachable device memory: one scalar
+    # pull sizes the per-unitig transfer exactly (snug grid bounds the
+    # compile variants), instead of a blind 2M-row default
+    cap = u_cap or min(
+        e, snug_capacity(int(dev.num_unitigs), floor=1 << 12)
+    )
     while True:
         arrs = spell_arrays(dev, cap)
         if not bool(arrs.overflow):

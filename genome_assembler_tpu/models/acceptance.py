@@ -137,6 +137,12 @@ def _run_single(
     else:
         err_kmers = int(total_windows * min(1.0, error_rate * k) * 1.2)
         capacity = int(2.5 * genome_len) + err_kmers + 4096
+    if os.environ.get("GA_ACCEPT_WARM") == "1":
+        # untimed compile pass: axon compiles cost minutes and are
+        # shape-keyed; the timed run below then reports steady state
+        assemble_tpu(
+            rs.codes, cfg, use_pallas=use_pallas, table_capacity=capacity
+        )
     m = Metrics()
     t0 = time.perf_counter()
     contigs = assemble_tpu(

@@ -66,3 +66,26 @@ def test_pack_unpack_roundtrip():
         assert packed.shape == (5, -(-length // 4))
         out = np.asarray(unpack_codes(packed, length))
         np.testing.assert_array_equal(out, codes)
+
+
+def test_k63_four_word_keys_end_to_end():
+    """k=63 (126-bit keys, W=4): the documented upper bound really works."""
+    import numpy as np
+
+    from genome_assembler_tpu.host.traverse import contigs_equal
+    from genome_assembler_tpu.models.oracle import assemble_oracle
+    from genome_assembler_tpu.models.pipeline import assemble_tpu
+    from genome_assembler_tpu.utils.config import AssemblyConfig
+    from genome_assembler_tpu.utils.dna import decode_seq, key_words
+    from genome_assembler_tpu.utils.simulate import (
+        simulate_genome,
+        simulate_reads,
+    )
+
+    assert key_words(63) == 4
+    genome = simulate_genome(1500, seed=17)
+    rs = simulate_reads(genome, coverage=15, read_len=100, seed=18)
+    cfg = AssemblyConfig(k=63, read_len=100)
+    contigs = assemble_tpu(rs.codes, cfg)
+    assert contigs == assemble_oracle(rs.codes, cfg)
+    assert contigs_equal(contigs, [decode_seq(genome)])

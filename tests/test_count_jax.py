@@ -129,3 +129,51 @@ def test_filter_table():
         np.asarray(out.words)[:2], [[0, 5], [1, 2]]
     )
     np.testing.assert_array_equal(np.asarray(out.counts)[:2], [5, 3])
+
+
+def test_snug_capacity_grid():
+    from genome_assembler_tpu.ops.count_jax import snug_capacity
+
+    floor = 1 << 16
+    assert snug_capacity(0) == floor
+    assert snug_capacity(floor) == floor
+    assert snug_capacity(floor + 1) == floor * 5 // 4
+    # grid = {1, 1.25, 1.5, 1.75} x 2^k, always >= n, <= 25% overhead
+    for n in (100_000, 1_000_000, 9_300_000, (1 << 22) + 1, 1 << 25):
+        cap = snug_capacity(n)
+        assert cap >= n
+        assert cap <= n * 1.25 + 1
+    assert snug_capacity(1 << 20) == 1 << 20
+
+
+def test_compact_table_preserves_counts_and_order():
+    import numpy as np
+
+    from genome_assembler_tpu.ops.count_jax import (
+        compact_table,
+        count_keys,
+    )
+    from genome_assembler_tpu.ops.kmer_jax import extract_canonical_flat
+    from genome_assembler_tpu.utils.simulate import (
+        simulate_genome,
+        simulate_reads,
+    )
+
+    genome = simulate_genome(800, seed=3)
+    rs = simulate_reads(genome, coverage=10, read_len=60, seed=4)
+    keys, _ = extract_canonical_flat(rs.codes, 21)
+    table = count_keys(keys)
+    compacted = compact_table(table)
+    # snug: capacity shrinks to the floor grid value, rows preserved
+    assert compacted.words.shape[0] <= table.words.shape[0]
+    n = int(table.num_unique)
+    assert int(compacted.num_unique) == n
+    np.testing.assert_array_equal(
+        np.asarray(compacted.words)[:n], np.asarray(table.words)[:n]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(compacted.counts)[:n], np.asarray(table.counts)[:n]
+    )
+    # idempotent
+    again = compact_table(compacted)
+    assert again.words.shape == compacted.words.shape

@@ -71,3 +71,33 @@ def test_sharded_assembly_equals_oracle_any_input(mesh8, seed, error_rate):
     assert assemble_distributed(rs.codes, cfg, mesh8) == assemble_oracle(
         rs.codes, cfg
     )
+
+
+@settings(deadline=None, max_examples=6)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    error_rate=st.sampled_from([0.0, 0.01]),
+)
+def test_sharded_graph_assembly_equals_oracle_any_input(
+    mesh8, seed, error_rate
+):
+    """The fully sharded-graph path (parallel.compress) holds the same
+    invariant: output == oracle for arbitrary inputs."""
+    from genome_assembler_tpu.parallel.pipeline import (
+        assemble_distributed_sharded,
+    )
+
+    genome = simulate_genome(1000, seed=seed)
+    rs = simulate_reads(
+        genome,
+        coverage=20,
+        read_len=80,
+        seed=seed + 1,
+        error_rate=error_rate,
+    )
+    cfg = AssemblyConfig(
+        k=21, read_len=80, min_count=3 if error_rate else 1
+    )
+    assert assemble_distributed_sharded(
+        rs.codes, cfg, mesh8
+    ) == assemble_oracle(rs.codes, cfg)
