@@ -183,7 +183,8 @@ def cmd_assemble(args) -> int:
             from .parallel.pipeline import assemble_distributed_sharded
 
             contigs = assemble_distributed_sharded(
-                reads, cfg, mesh, metrics=metrics, emit=args.emit
+                reads, cfg, mesh, metrics=metrics, emit=args.emit,
+                checkpoint=args.checkpoint, resume_from=args.resume_from,
             )
         else:
             contigs = assemble_distributed(

@@ -144,11 +144,12 @@ def count_reads_device(
 
     from ..utils.dna import pack_codes, pack_invalid_mask
 
-    inv_mask = pack_invalid_mask(reads)
+    has_invalid = bool((reads > 3).any())
     if table_capacity is None and total_windows <= SINGLE_SHOT_WINDOWS:
         return _count_batch(
             pack_codes(reads), cfg.k, np.int32(b), use_pallas,
-            read_len=length, inv_mask=inv_mask,
+            read_len=length,
+            inv_mask=pack_invalid_mask(reads) if has_invalid else None,
         )
 
     # Bounded default: unique k-mers are genome-sized, far below the window
@@ -168,7 +169,7 @@ def count_reads_device(
     def host_prep(start):
         rows = reads[start : start + batch]
         chunk = pack_codes(rows)
-        if inv_mask is None:
+        if not has_invalid:
             bm = None
         else:
             # Ns anywhere in the read set: every batch carries mask bits

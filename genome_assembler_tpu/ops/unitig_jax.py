@@ -167,9 +167,29 @@ def _link_sortjoin(edge_words: jax.Array, valid: jax.Array, k: int):
     key_s = jnp.stack(ops[:w], axis=1)
     is_pre = ops[w] == 0
     pay_s = ops[w + 1]
-    n2 = 2 * e
-    pos = jnp.arange(n2, dtype=jnp.int32)
+    good, succ = join_scan(key_s, is_pre, pay_s)
+    # prev[successor] = this suffix lane's edge; indices unique since the
+    # successor's node has indeg == 1
+    return (
+        jnp.full(e, -1, dtype=jnp.int32)
+        .at[jnp.where(good, succ, e)]
+        .set(pay_s, mode="drop")
+    )
 
+
+def join_scan(key_s: jax.Array, is_pre: jax.Array, pay_s: jax.Array):
+    """Shared run-scan core of the tagged successor join.
+
+    Input: [N, W] node keys sorted with prefix entries (is_pre) before
+    suffix entries within each key run, plus each entry's edge-id payload.
+    Output per lane: good (this suffix lane's node has outdeg == indeg
+    == 1 and a prefix entry leads the run) and succ (the run-leading
+    prefix entry's edge id). Used verbatim by the single-device linker
+    above and the sharded linker (parallel.compress) so the join
+    semantics cannot diverge.
+    """
+    n2, w = key_s.shape
+    pos = jnp.arange(n2, dtype=jnp.int32)
     prev_key = jnp.concatenate(
         [jnp.full((1, w), SENTINEL, jnp.uint32), key_s[:-1]], axis=0
     )
@@ -189,7 +209,6 @@ def _link_sortjoin(edge_words: jax.Array, valid: jax.Array, k: int):
     indeg = (run_end - run_start) - outdeg
     succ = pay_s[run_start]
     first_is_pre = is_pre[run_start]
-
     sentinel_run = key_s[:, 0] == SENTINEL
     for i in range(1, w):
         sentinel_run &= key_s[:, i] == SENTINEL
@@ -200,13 +219,7 @@ def _link_sortjoin(edge_words: jax.Array, valid: jax.Array, k: int):
         & (indeg == 1)
         & ~sentinel_run
     )
-    # prev[successor] = this suffix lane's edge; indices unique since the
-    # successor's node has indeg == 1
-    return (
-        jnp.full(e, -1, dtype=jnp.int32)
-        .at[jnp.where(good, succ, e)]
-        .set(pay_s, mode="drop")
-    )
+    return good, succ
 
 
 def _steps_for(e: int) -> int:

@@ -174,44 +174,3 @@ def searchsorted_words(
         steps,
         side,
     )
-
-
-_LUT_BITS = 16
-
-
-@jax.jit
-def build_search_lut(sorted_words: jax.Array):
-    """Bucket LUT over the top 16 bits of the first word of sorted keys.
-
-    Returns (starts [2^16+1] int32, max_bucket int32). Seeding the
-    bisection range from the LUT cuts the gather rounds from log2(N) to
-    log2(max_bucket) — the dominant cost of the big equal-range joins.
-    """
-    n = sorted_words.shape[0]
-    shift = np.uint32(32 - _LUT_BITS)
-    tops = jnp.arange(1 << _LUT_BITS, dtype=jnp.uint32) << shift
-    starts = jnp.searchsorted(sorted_words[:, 0], tops, side="left")
-    starts = jnp.concatenate(
-        [starts.astype(jnp.int32), jnp.full((1,), n, jnp.int32)]
-    )
-    max_bucket = jnp.max(starts[1:] - starts[:-1])
-    return starts, max_bucket
-
-
-@functools.partial(jax.jit, static_argnames=("side", "steps"))
-def searchsorted_words_bucketed(
-    sorted_words: jax.Array,
-    queries: jax.Array,
-    lut_starts: jax.Array,
-    steps: int,
-    side: str = "left",
-) -> jax.Array:
-    """searchsorted_words seeded from a build_search_lut bucket range.
-
-    steps must be >= ceil(log2(max_bucket)) + 1 (the caller reads
-    max_bucket from the LUT build — a scalar pull — and picks steps).
-    """
-    bkt = (queries[:, 0] >> np.uint32(32 - _LUT_BITS)).astype(jnp.int32)
-    return _bisect(
-        sorted_words, queries, lut_starts[bkt], lut_starts[bkt + 1], steps, side
-    )

@@ -61,18 +61,6 @@ def _eq_rows(a, b):
     return eq
 
 
-def _run_bounds(new_flag, n):
-    """(run_start, run_end) per lane for runs delimited by new_flag."""
-    pos = jnp.arange(n, dtype=jnp.int32)
-    run_start = jax.lax.cummax(jnp.where(new_flag, pos, -1))
-    start_or_inf = jnp.where(new_flag, pos, n)
-    run_end = jnp.concatenate(
-        [jnp.flip(jax.lax.cummin(jnp.flip(start_or_inf)))[1:],
-         jnp.full((1,), n, jnp.int32)]
-    )
-    return run_start, run_end
-
-
 def _bucket_pack(values, owner, valid, d, cap):
     """Pack rows into a [d, cap, ...] send buffer by owner bucket.
 
@@ -176,7 +164,11 @@ def make_sharded_compress(
             send, axis, split_axis=0, concat_axis=0, tiled=False
         ).reshape(d * cap_join, w + 2)
 
-        # sort received records by (node key, tag); BIG-padded lanes sink
+        # sort received records by (node key, tag); padded lanes carry the
+        # sentinel key (see _bucket_pack) and their run is excluded by the
+        # shared join core
+        from ..ops.unitig_jax import join_scan
+
         rkeys = recv[:, :w].astype(jnp.uint32)
         rtag = recv[:, w].astype(jnp.uint32)
         rgid = recv[:, w + 1]
@@ -187,27 +179,7 @@ def make_sharded_compress(
         key_s = jnp.stack(ops[:w], axis=1)
         is_pre = ops[w] == 0
         pay = ops[w + 1]
-        n2 = d * cap_join
-        prev_key = jnp.concatenate(
-            [jnp.full((1, w), 0xFFFFFFFF, jnp.uint32), key_s[:-1]], axis=0
-        )
-        new_key = jnp.any(key_s != prev_key, axis=1).at[0].set(True)
-        run_start, run_end = _run_bounds(new_key, n2)
-        pre_cum = jnp.cumsum(is_pre.astype(jnp.int32))
-        pre_before = jnp.where(
-            run_start > 0, pre_cum[jnp.clip(run_start - 1, 0, n2 - 1)], 0
-        )
-        outdeg = pre_cum - pre_before
-        indeg = (run_end - run_start) - outdeg
-        succ = pay[run_start]
-        first_is_pre = is_pre[run_start]
-        # padding lanes carry the sentinel key too (see _bucket_pack)
-        sent_run = _eq_rows(key_s, jnp.broadcast_to(
-            jnp.full((1, w), SENTINEL, jnp.uint32), key_s.shape))
-        good = (
-            ~is_pre & first_is_pre & (outdeg == 1) & (indeg == 1)
-            & ~sent_run
-        )
+        good, succ = join_scan(key_s, is_pre, pay)
         # pair (successor gid, predecessor gid) -> successor's owner
         pair = jnp.stack([succ, pay], axis=1)
         send2, ovf2 = _bucket_pack(pair, owner_of(succ).astype(jnp.int32), good, d, cap_pair)
@@ -321,19 +293,21 @@ def make_sharded_compress(
         ) > 0
 
         def with_break(_):
-            _, mn, _o = double(prev, valid, "min")
+            _, mn, o_min = double(prev, valid, "min")
             # in_cycle: my ancestor still has a predecessor
             pstate = jnp.stack([prev, prev], axis=1)
-            pans, _o2 = query_round(pstate, anc, valid)
+            pans, o_q = query_round(pstate, anc, valid)
             in_cycle = valid & (pans[:, 0] >= 0)
             prev2 = jnp.where(in_cycle & (my_gid == mn), -1, prev)
-            anc2, dist2, _o3 = double(prev2, valid, "dist")
-            return prev2, anc2, dist2
+            anc2, dist2, o_d = double(prev2, valid, "dist")
+            return prev2, anc2, dist2, o_min | o_q | o_d
 
         def no_break(_):
-            return prev, anc, dist
+            return prev, anc, dist, jnp.asarray(False)
 
-        prev, anc, dist = jax.lax.cond(has_cycle, with_break, no_break, None)
+        prev, anc, dist, o_cycle = jax.lax.cond(
+            has_cycle, with_break, no_break, None
+        )
 
         # global unitig numbering
         heads = valid & (prev == -1)
@@ -352,7 +326,7 @@ def make_sharded_compress(
 
         num_unitigs = jnp.sum(all_counts)
         overflow = jax.lax.pmax(
-            (ovf | o1 | o2).astype(jnp.int32), axis
+            (ovf | o1 | o2 | o_cycle).astype(jnp.int32), axis
         ) > 0
         last_base = (edge_words[:, -1] & jnp.uint32(3)).astype(jnp.uint8)
         return (
@@ -395,14 +369,15 @@ def spell_quads_host(
     traverse stages are shared.
     """
     from ..host.dbg import Unitig, _DECODE_LUT
+    from ..utils.jaxenv import to_host
 
-    valid = np.asarray(valid)
-    uid = np.asarray(uid)[valid]
-    pos = np.asarray(pos)[valid]
-    cov = np.asarray(cov)[valid]
-    base = np.asarray(last_base)[valid]
-    heads = np.asarray(heads)[valid]
-    words = np.asarray(edge_words)[valid]
+    valid = to_host(valid)
+    uid = to_host(uid)[valid]
+    pos = to_host(pos)[valid]
+    cov = to_host(cov)[valid]
+    base = to_host(last_base)[valid]
+    heads = to_host(heads)[valid]
+    words = to_host(edge_words)[valid]
     u = int(num_unitigs)
     w = words.shape[1]
 

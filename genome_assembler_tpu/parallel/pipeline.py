@@ -222,9 +222,11 @@ def distributed_count_to_host(
     words, counts, num_unique = _run_distributed_step(
         reads, cfg, mesh, bucket_cap, axis
     )
-    words = np.asarray(words).reshape(d, -1, key_words(cfg.k))
-    counts = np.asarray(counts).reshape(d, -1)
-    num_unique = np.asarray(num_unique)
+    from ..utils.jaxenv import to_host
+
+    words = to_host(words).reshape(d, -1, key_words(cfg.k))
+    counts = to_host(counts).reshape(d, -1)
+    num_unique = to_host(num_unique)
     merged: dict[str, int] = {}
     for dev in range(d):
         n = int(num_unique[dev])
@@ -251,8 +253,13 @@ def distributed_count_table(
     )
     # Gather shard tables and re-count with multiplicity weights: shard
     # keys are disjoint, so this is a pure re-sort into global order.
-    words_h = np.ascontiguousarray(words)
-    counts_h = np.ascontiguousarray(counts)
+    # (Multi-process: every host assembles the same global table and the
+    # back half runs replicated — correct, if wasteful; the sharded-graph
+    # path is the scalable alternative.)
+    from ..utils.jaxenv import to_host
+
+    words_h = np.ascontiguousarray(to_host(words))
+    counts_h = np.ascontiguousarray(to_host(counts))
     return count_jax.count_keys(words_h, counts_h)
 
 
@@ -292,6 +299,36 @@ def _shard_hist(mesh, axis, cap: int = 1000):
     ))
 
 
+def save_sharded_table(words, counts, d: int, k: int, path: str) -> None:
+    """Checkpoint the row-sharded (hash-owned) count table (.npz)."""
+    from ..utils.jaxenv import to_host
+
+    np.savez_compressed(
+        path,
+        words=to_host(words),
+        counts=to_host(counts),
+        d=np.asarray(d),
+        k=np.asarray(k),
+        layout=np.asarray("hash_shards"),
+    )
+
+
+def load_sharded_table(path: str, mesh: Mesh, axis, d: int, k: int):
+    """Restore a sharded-table checkpoint onto the mesh (same D and k)."""
+    with np.load(path) as z:
+        if str(z["layout"]) != "hash_shards":
+            raise ValueError(f"{path}: not a sharded-table checkpoint")
+        if int(z["d"]) != d or int(z["k"]) != k:
+            raise ValueError(
+                f"{path}: checkpoint is for d={int(z['d'])}, k={int(z['k'])};"
+                f" this run has d={d}, k={k}"
+            )
+        sharding = NamedSharding(mesh, P(axis, None))
+        words = jax.device_put(z["words"], sharding)
+        counts = jax.device_put(z["counts"], NamedSharding(mesh, P(axis)))
+    return words, counts
+
+
 def assemble_distributed_sharded(
     reads: np.ndarray,
     cfg: AssemblyConfig,
@@ -300,6 +337,8 @@ def assemble_distributed_sharded(
     metrics=None,
     emit: str = "unitigs",
     bucket_cap: int | None = None,
+    checkpoint: str | None = None,
+    resume_from: str | None = None,
 ) -> list[str]:
     """Fully sharded assembly: the graph never gathers onto one device.
 
@@ -308,6 +347,9 @@ def assemble_distributed_sharded(
     (parallel.compress); per-device memory scales ~1/D. The host receives
     only fixed-size per-edge spell quads and the branchy residue. Requires
     odd k (device compression invariant, ops.unitig_jax).
+
+    checkpoint/resume_from: the pre-filter hash-sharded count table as
+    .npz (mesh size and k must match on resume).
     """
     from ..host.simplify import simplify_unitigs
     from ..models.pipeline import auto_min_count
@@ -328,18 +370,27 @@ def assemble_distributed_sharded(
     m.count("kmers", reads.shape[0] * (reads.shape[1] - cfg.k + 1))
     m.count("hosts", num_hosts(mesh))
 
-    with m.stage("count"):
-        words, counts, num_unique = _run_distributed_step(
-            reads, cfg, mesh, bucket_cap, axis
+    if resume_from is not None:
+        words, counts = load_sharded_table(
+            resume_from, mesh, axis, d, cfg.k
         )
-        _sync(counts[:1])
+    else:
+        with m.stage("count"):
+            words, counts, num_unique = _run_distributed_step(
+                reads, cfg, mesh, bucket_cap, axis
+            )
+            _sync(counts[:1])
+    if checkpoint is not None:
+        save_sharded_table(words, counts, d, cfg.k, checkpoint)
     w = key_words(cfg.k)
     c_shard = words.shape[0] // d
 
     with m.stage("filter"):
+        from ..utils.jaxenv import to_host
+
         min_count = cfg.min_count
         if min_count == 0:
-            hist = np.asarray(_shard_hist(mesh, axis)(counts)).reshape(
+            hist = to_host(_shard_hist(mesh, axis)(counts)).reshape(
                 d, -1
             ).sum(axis=0)
             nz = np.nonzero(hist)[0]
@@ -350,7 +401,7 @@ def assemble_distributed_sharded(
         )(words, counts)
         # shrink every shard to one snug uniform capacity
         new_c = min(
-            c_shard, snug_capacity(int(np.asarray(kept).max()))
+            c_shard, snug_capacity(int(to_host(kept).max()))
         )
         if new_c < c_shard:
             words = words.reshape(d, c_shard, w)[:, :new_c].reshape(
@@ -373,7 +424,7 @@ def assemble_distributed_sharded(
     with m.stage("spell"):
         unitigs = spell_quads_host(
             valid, uid, pos, cov, last_base, heads, edge_words,
-            int(np.asarray(num_unitigs)[0]), cfg.k,
+            int(to_host(num_unitigs)[0]), cfg.k,
         )
     with m.stage("simplify"):
         graph = simplify_unitigs(

@@ -44,7 +44,33 @@ def sync(x) -> None:
     host fetch truly waits. Fetching one scalar element is enough — XLA
     outputs materialize only when the whole program has executed — and
     costs one ~32 ms roundtrip instead of an array transfer.
+
+    Multi-process (pod) arrays span non-addressable devices; fetching the
+    first *addressable* shard is the local completion barrier there.
     """
     import numpy as np
 
+    if not getattr(x, "is_fully_addressable", True):
+        shard = x.addressable_shards[0].data
+        np.asarray(
+            shard.reshape(-1)[:1] if getattr(shard, "ndim", 0) else shard
+        )
+        return
     np.asarray(x.reshape(-1)[:1] if getattr(x, "ndim", 0) else x)
+
+
+def to_host(x):
+    """Fetch a jax array to host numpy, multi-process safe.
+
+    Single-process (and the forced CPU test mesh): a plain np.asarray.
+    Multi-process pods: arrays sharded across processes are not fully
+    addressable, so np.asarray raises — process_allgather assembles the
+    global value on every host instead.
+    """
+    import numpy as np
+
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -49,14 +49,18 @@ def find_entry(ref_path: str) -> str | None:
             return (0 if has_main else 1, path)
         return (2 if has_main else 98, path)
 
+    base_depth = os.path.normpath(ref_path).count(os.sep)
     candidates: list[str] = []
-    for depth, (root, dirs, files) in enumerate(os.walk(ref_path)):
+    for root, dirs, files in os.walk(ref_path):
+        # true directory depth (walk order is filesystem-dependent)
+        depth = os.path.normpath(root).count(os.sep) - base_depth
+        if depth >= 2:
+            dirs[:] = []
+            continue
         dirs[:] = [d for d in dirs if not d.startswith(".")]
         candidates.extend(
             os.path.join(root, f) for f in files if f.endswith(".py")
         )
-        if depth >= 2:
-            break
     scored = sorted(score(c) for c in candidates)
     if not scored or scored[0][0] >= 98:
         return None
@@ -87,8 +91,10 @@ def run_reference(
     as FASTA when it starts with '>', else as one contig per line (ACGT
     lines only — logging lines are ignored).
     """
+    if entry is None and cmd is None:
+        raise ValueError("no entry script found and no --cmd supplied")
     attempts = (
-        [cmd.format(entry=entry, reads=reads_path)]
+        [cmd.format(entry=entry or "", reads=reads_path)]
         if cmd
         else [
             f"{sys.executable} {entry} {reads_path}",
@@ -103,7 +109,7 @@ def run_reference(
             capture_output=True,
             text=True,
             timeout=timeout,
-            cwd=os.path.dirname(entry) or ".",
+            cwd=(os.path.dirname(entry) or ".") if entry else ".",
         )
         if proc.returncode == 0 and proc.stdout.strip():
             return parse_contig_output(proc.stdout)

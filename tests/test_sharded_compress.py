@@ -103,3 +103,19 @@ def test_repeat_genome_sharded():
     cfg = AssemblyConfig(k=21, read_len=61)
     contigs = assemble_distributed_sharded(reads, cfg, build_mesh(8))
     assert contigs == assemble_oracle(reads, cfg)
+
+
+def test_sharded_checkpoint_resume(tmp_path):
+    genome, reads, cfg = _workload(genome_len=1800, coverage=15, seed=101)
+    mesh = build_mesh(8)
+    ckpt = str(tmp_path / "sh.npz")
+    contigs = assemble_distributed_sharded(reads, cfg, mesh, checkpoint=ckpt)
+    resumed = assemble_distributed_sharded(
+        np.zeros_like(reads), cfg, mesh, resume_from=ckpt
+    )
+    assert resumed == contigs
+    # mismatched mesh size is a clear error, not silent corruption
+    with pytest.raises(ValueError):
+        assemble_distributed_sharded(
+            reads, cfg, build_mesh(4), resume_from=ckpt
+        )

@@ -145,3 +145,30 @@ def test_verify_detects_mismatch(tmp_path):
     )
     report = verify(str(ref), k=25)
     assert report["status"] == "MISMATCH"
+
+
+def test_find_entry_deep_sibling_dirs(tmp_path):
+    """Many sibling dirs before the entry: depth, not walk order, bounds
+    the search (r2 review fix)."""
+    ref = tmp_path / "ref"
+    for name in ("a1", "a2", "a3", "a4"):
+        (ref / name).mkdir(parents=True)
+        (ref / name / "data.txt").write_text("x")
+    (ref / "zz").mkdir()
+    (ref / "zz" / "assembler.py").write_text("def main():\n    pass\n")
+    assert find_entry(str(ref)).endswith("assembler.py")
+
+
+def test_cmd_without_detectable_entry(tmp_path):
+    """--cmd drives a non-Python reference even when no entry is found."""
+    ref = tmp_path / "shref"
+    ref.mkdir()
+    (ref / "run.sh").write_text(f"#!/bin/sh\ncat {ref}/genome.txt\n")
+    (ref / "genome.txt").write_text("ACGTACGTACGTACGTACGTACGTACGT\n")
+    report = verify(
+        str(ref), cmd=f"sh {ref}/run.sh {{reads}}", k=25,
+        backends=("oracle",),
+    )
+    # it ran and compared (mismatch expected: the fake prints a fixed seq)
+    assert report["status"] in ("pass", "MISMATCH")
+    assert report["runs"][0]["reference_contigs"] == 1
