@@ -262,11 +262,17 @@ def accept_cfg4() -> AcceptResult:
         )
     eff = weak_scaling_efficiency(rates)
 
-    # Full sharded assembly end-to-end on the largest mesh vs the oracle.
+    # Full sharded assembly end-to-end on the largest mesh vs the oracle —
+    # both the gathered path and the fully sharded graph path.
+    from ..parallel.pipeline import assemble_distributed_sharded
+
     contigs = assemble_distributed(rs.codes, cfg, build_mesh(n_dev))
+    sharded = assemble_distributed_sharded(rs.codes, cfg, build_mesh(n_dev))
     oracle = assemble_oracle(rs.codes, cfg)
-    assembly_ok = contigs == oracle and contigs_equal(
-        contigs, [decode_seq(genome)]
+    assembly_ok = (
+        contigs == oracle
+        and sharded == oracle
+        and contigs_equal(contigs, [decode_seq(genome)])
     )
 
     passed = counts_ok and assembly_ok

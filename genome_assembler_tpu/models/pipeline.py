@@ -63,8 +63,7 @@ def _count_batch(
     inv_mask ([B, ceil(L/8)] packed bits, utils.dna.pack_invalid_mask)
     flags ambiguous bases (Ns); windows touching one are masked to the
     sentinel, never counted. Ambiguity can't ride the 2-bit packing, hence
-    the separate bits. The Pallas extraction kernel has no mask plumbing,
-    so masked batches always take the XLA path.
+    the separate bits; both extraction kernels take the unpacked plane.
     """
     bad = None
     if inv_mask is not None:
@@ -75,10 +74,10 @@ def _count_batch(
         from ..ops.kmer_jax import unpack_codes
 
         reads = unpack_codes(reads, read_len)
-    if use_pallas and bad is None:
+    if use_pallas:
         from ..ops.kmer_pallas import extract_canonical_flat_pallas
 
-        keys, _ = extract_canonical_flat_pallas(reads, k, n_valid)
+        keys, _ = extract_canonical_flat_pallas(reads, k, n_valid, bad=bad)
     else:
         keys, _ = extract_canonical_flat(reads, k, n_valid, bad)
     table = count_jax.count_keys(keys)

@@ -32,16 +32,26 @@ from ..utils.dna import key_words
 _SENT = np.uint32(0xFFFFFFFF)
 
 
-def _kernel(n_valid_ref, reads_ref, *out_refs, k: int, w: int, tb: int):
+def _kernel(
+    n_valid_ref, reads_ref, *rest, k: int, w: int, tb: int, has_bad: bool
+):
+    if has_bad:
+        bad_ref, *out_refs = rest
+    else:
+        out_refs = rest
     wc = reads_ref.shape[1] - k + 1
     zeros = jnp.zeros((tb, wc), dtype=jnp.uint32)
     fwd = [zeros] * w
     rc = [zeros] * w
+    badwin = jnp.zeros((tb, wc), dtype=jnp.bool_)
     pos = 2 * (k - 1)
     rc_widx = w - 1 - pos // 32
     rc_shift = jnp.uint32(pos % 32)
     for j in range(k):
         base = reads_ref[:, j : j + wc].astype(jnp.uint32)
+        if has_bad:
+            # ambiguous-base plane: windows touching one emit the sentinel
+            badwin = badwin | (bad_ref[:, j : j + wc] != 0)
         # fwd <- (fwd << 2) | base
         nfwd = [
             (fwd[i] << jnp.uint32(2)) | (fwd[i + 1] >> jnp.uint32(30))
@@ -67,7 +77,7 @@ def _kernel(n_valid_ref, reads_ref, *out_refs, k: int, w: int, tb: int):
     # sentinel on padding rows
     tile = pl.program_id(0)
     row = jax.lax.broadcasted_iota(jnp.int32, (tb, wc), 0) + tile * tb
-    invalid = row >= n_valid_ref[0]
+    invalid = (row >= n_valid_ref[0]) | badwin
     for i in range(w):
         canon = jnp.where(pick_fwd, fwd[i], rc[i])
         out_refs[i][:, :] = jnp.where(invalid, _SENT, canon)
@@ -82,11 +92,14 @@ def extract_canonical_planes_pallas(
     n_valid: jax.Array | None = None,
     tile_rows: int = 256,
     interpret: bool | None = None,
+    bad: jax.Array | None = None,
 ) -> tuple[jax.Array, ...]:
     """[B, L] uint8 reads -> W planes of [B, L-k+1] uint32 canonical keys.
 
     B must be a multiple of tile_rows (wrappers pad; padding rows emit the
-    sentinel via n_valid). interpret=None auto-selects the Pallas
+    sentinel via n_valid). bad [B, L] uint8/bool flags ambiguous bases
+    (N handling): every window touching one emits the sentinel, matching
+    ops.kmer_jax.extract_kmers. interpret=None auto-selects the Pallas
     interpreter off-TPU (CPU tests/debug) and the compiled kernel on TPU.
     """
     if interpret is None:
@@ -100,16 +113,14 @@ def extract_canonical_planes_pallas(
         n_valid = jnp.asarray(b, dtype=jnp.int32)
     n_valid = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1)
 
+    has_bad = bad is not None
+    read_spec = pl.BlockSpec(
+        (tile_rows, length), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // tile_rows,),
-        in_specs=[
-            pl.BlockSpec(
-                (tile_rows, length),
-                lambda i, *_: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=[read_spec, read_spec] if has_bad else [read_spec],
         out_specs=tuple(
             pl.BlockSpec(
                 (tile_rows, wc),
@@ -119,7 +130,12 @@ def extract_canonical_planes_pallas(
             for _ in range(w)
         ),
     )
-    kernel = functools.partial(_kernel, k=k, w=w, tb=tile_rows)
+    kernel = functools.partial(
+        _kernel, k=k, w=w, tb=tile_rows, has_bad=has_bad
+    )
+    args = (n_valid, reads)
+    if has_bad:
+        args = args + (bad.astype(jnp.uint8),)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -127,7 +143,7 @@ def extract_canonical_planes_pallas(
             jax.ShapeDtypeStruct((b, wc), jnp.uint32) for _ in range(w)
         ),
         interpret=interpret,
-    )(n_valid, reads)
+    )(*args)
     return out
 
 
@@ -137,6 +153,7 @@ def extract_canonical_flat_pallas(
     k: int,
     n_valid: jax.Array | None = None,
     tile_rows: int = 256,
+    bad: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Drop-in for ops.kmer_jax.extract_canonical_flat (Pallas-backed).
 
@@ -144,7 +161,9 @@ def extract_canonical_flat_pallas(
     """
     b, length = reads.shape
     wc = length - k + 1
-    planes = extract_canonical_planes_pallas(reads, k, n_valid, tile_rows)
+    planes = extract_canonical_planes_pallas(
+        reads, k, n_valid, tile_rows, bad=bad
+    )
     keys = jnp.stack([p.reshape(b * wc) for p in planes], axis=-1)
     if n_valid is None:
         valid = jnp.ones((b * wc,), dtype=bool)

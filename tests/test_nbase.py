@@ -159,3 +159,41 @@ def test_native_loader_fasta_with_ns(tmp_path):
     assert out is not None
     assert list(out[0]) == [0, 1, 2, 3, INVALID_CODE]
     assert list(out[1]) == [2, 2, 2, 3, 1]
+
+
+def test_pallas_extraction_masks_ns_like_xla():
+    """The Pallas kernel honors the invalid-base plane (interpret mode)."""
+    import jax.numpy as jnp
+
+    from genome_assembler_tpu.ops.kmer_jax import extract_canonical_flat
+    from genome_assembler_tpu.ops.kmer_pallas import (
+        extract_canonical_flat_pallas,
+    )
+
+    codes, _ = _reads_with_ns(0.02, seed=55, genome_len=800)
+    b = (codes.shape[0] // 256 + 1) * 256
+    padded = np.zeros((b, codes.shape[1]), np.uint8)
+    padded[: codes.shape[0]] = codes
+    bad = jnp.asarray(padded > 3)
+    clamped = jnp.asarray(padded & 3)
+    k = 21
+    nv = np.int32(codes.shape[0])
+    want, _ = extract_canonical_flat(jnp.asarray(padded), k, nv)
+    got, _ = extract_canonical_flat_pallas(clamped, k, nv, bad=bad)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_pipeline_with_ns():
+    """use_pallas no longer silently downgrades on N-containing reads."""
+    from genome_assembler_tpu.models.oracle import count_canonical_dict
+    from genome_assembler_tpu.models.pipeline import (
+        count_reads_device,
+        table_to_host_counts,
+    )
+
+    codes, _ = _reads_with_ns(0.01, seed=57)
+    cfg = AssemblyConfig(k=25, read_len=100)
+    got = table_to_host_counts(
+        count_reads_device(codes, cfg, use_pallas=True), cfg.k
+    )
+    assert got == count_canonical_dict(codes, cfg.k)
