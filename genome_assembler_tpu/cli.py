@@ -123,6 +123,27 @@ def cmd_simulate(args) -> int:
     return 0
 
 
+def _graph_outputs(args, graph) -> list[float]:
+    """Shared graph-based outputs for graph-producing backends:
+    optional GFA 1.0 export + per-contig mean k-mer coverage headers."""
+    if args.gfa:
+        from .host.stats import write_gfa
+
+        with open(args.gfa, "w") as fh:
+            write_gfa(graph, fh)
+    from .host.traverse import (
+        emit_contigs_euler_with_cov,
+        emit_contigs_with_cov,
+    )
+
+    with_cov = (
+        emit_contigs_euler_with_cov(graph)
+        if args.emit == "euler"
+        else emit_contigs_with_cov(graph)
+    )
+    return [c for _, c in with_cov]
+
+
 def cmd_assemble(args) -> int:
     from .models.oracle import assemble_oracle
 
@@ -182,15 +203,18 @@ def cmd_assemble(args) -> int:
         if args.sharded_graph:
             from .parallel.pipeline import assemble_distributed_sharded
 
-            contigs = assemble_distributed_sharded(
+            contigs, graph = assemble_distributed_sharded(
                 reads, cfg, mesh, metrics=metrics, emit=args.emit,
                 checkpoint=args.checkpoint, resume_from=args.resume_from,
+                return_graph=True,
             )
         else:
-            contigs = assemble_distributed(
+            contigs, graph = assemble_distributed(
                 reads, cfg, mesh, metrics=metrics, emit=args.emit,
                 checkpoint=args.checkpoint, resume_from=args.resume_from,
+                return_graph=True,
             )
+        coverages = _graph_outputs(args, graph)
     else:  # tpu
         from .models.pipeline import assemble_tpu
         from .utils.metrics import Metrics
@@ -208,22 +232,7 @@ def cmd_assemble(args) -> int:
             return_graph=True,
             emit=args.emit,
         )
-        if args.gfa:
-            from .host.stats import write_gfa
-
-            with open(args.gfa, "w") as fh:
-                write_gfa(graph, fh)
-        from .host.traverse import (
-            emit_contigs_euler_with_cov,
-            emit_contigs_with_cov,
-        )
-
-        with_cov = (
-            emit_contigs_euler_with_cov(graph)
-            if args.emit == "euler"
-            else emit_contigs_with_cov(graph)
-        )
-        coverages = [c for _, c in with_cov]
+        coverages = _graph_outputs(args, graph)
     dt = time.perf_counter() - t0
     if args.metrics_out and metrics is not None:
         metrics.dump(args.metrics_out)
@@ -286,7 +295,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="print contig summary stats (N50 etc.) to stderr")
     pa.add_argument("--gfa", default=None,
                     help="write the simplified unitig graph as GFA 1.0 "
-                    "(tpu backend only)")
+                    "(tpu and dist backends)")
     pa.add_argument(
         "--emit",
         choices=["unitigs", "euler"],

@@ -339,6 +339,7 @@ def assemble_distributed_sharded(
     bucket_cap: int | None = None,
     checkpoint: str | None = None,
     resume_from: str | None = None,
+    return_graph: bool = False,
 ) -> list[str]:
     """Fully sharded assembly: the graph never gathers onto one device.
 
@@ -431,7 +432,10 @@ def assemble_distributed_sharded(
             unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
         )
     with m.stage("traverse"):
-        return _emit(graph, emit)
+        contigs = _emit(graph, emit)
+    if return_graph:
+        return contigs, graph
+    return contigs
 
 
 def assemble_distributed(
@@ -443,6 +447,7 @@ def assemble_distributed(
     emit: str = "unitigs",
     checkpoint: str | None = None,
     resume_from: str | None = None,
+    return_graph: bool = False,
 ) -> list[str]:
     """End-to-end multi-device assembly: reads -> canonical contigs.
 
@@ -496,7 +501,8 @@ def assemble_distributed(
                 unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
             )
         with m.stage("traverse"):
-            return _emit(graph, emit)
+            contigs = _emit(graph, emit)
+        return (contigs, graph) if return_graph else contigs
     with m.stage("count"):
         counts = distributed_count_to_host(reads, cfg, mesh)
     min_count = cfg.min_count
@@ -511,7 +517,8 @@ def assemble_distributed(
             kept, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
         )
     with m.stage("traverse"):
-        return _emit(graph, emit)
+        contigs = _emit(graph, emit)
+    return (contigs, graph) if return_graph else contigs
 
 
 def _emit(graph, emit: str) -> list[str]:
