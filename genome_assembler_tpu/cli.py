@@ -206,13 +206,13 @@ def cmd_assemble(args) -> int:
             contigs, graph = assemble_distributed_sharded(
                 reads, cfg, mesh, metrics=metrics, emit=args.emit,
                 checkpoint=args.checkpoint, resume_from=args.resume_from,
-                return_graph=True,
+                return_graph=True, minimizer_len=args.minimizer_len,
             )
         else:
             contigs, graph = assemble_distributed(
                 reads, cfg, mesh, metrics=metrics, emit=args.emit,
                 checkpoint=args.checkpoint, resume_from=args.resume_from,
-                return_graph=True,
+                return_graph=True, minimizer_len=args.minimizer_len,
             )
         coverages = _graph_outputs(args, graph)
     else:  # tpu
@@ -285,6 +285,10 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--hosts", type=int, default=None,
                     help="build a 2-level (host, chip) mesh with this many "
                     "hosts (--backend dist; pod runs pair it with GA_DIST=1)")
+    pa.add_argument("--minimizer-len", type=int, default=None,
+                    help="route minimizer super-k-mer records over the "
+                    "all-to-all instead of per-window keys (~3-6x less "
+                    "cross-chip volume; --backend dist; try 15 for k=31)")
     pa.add_argument("--sharded-graph", action="store_true",
                     help="keep the graph sharded through compression "
                     "(per-device memory ~1/D; --backend dist, odd k)")

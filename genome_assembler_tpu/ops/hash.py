@@ -34,3 +34,14 @@ def mix_words(words):
     h = h * _P2
     h = h ^ (h >> 16)
     return h
+
+
+def mix32(x):
+    """Single-word variant of mix_words for u32 values (minimizer hashes)."""
+    h = x * _P1
+    h = h ^ (h >> 15)
+    h = h * _P4
+    h = h ^ (h >> 13)
+    h = h * _P2
+    h = h ^ (h >> 16)
+    return h

@@ -51,7 +51,11 @@ from ..ops.words_jax import prefix_node, revcomp_words, suffix_node
 from ..utils.dna import key_words
 from .mesh import axis_size, mesh_axes
 
-BIG = jnp.int32(2**30)  # +inf for int32 id lanes (sorts last)
+# +inf for int32 id lanes (sorts last). A plain Python int, NOT a jnp
+# scalar: a module-level jnp constant gets its aval bound to whichever
+# shard_map mesh traces it first and then poisons traces under any other
+# mesh ("context mesh should match the aval mesh").
+BIG = 2**30
 
 
 def _eq_rows(a, b):

@@ -96,26 +96,93 @@ def _route_to_buckets(
 
 def make_distributed_count(
     mesh: Mesh, k: int, batch_per_device: int, read_len: int, bucket_cap: int,
-    axis="d", with_mask: bool = False,
+    axis="d", with_mask: bool = False, minimizer_len: int | None = None,
 ):
     """Build the jitted multi-device counting step.
 
     Returns fn(reads [D*B, L] u8, n_valid [D] i32[, inv_mask]) ->
       (words [D*C, W] row-sharded, counts [D*C], num_unique [D], overflow []).
-    C = D * bucket_cap is each device's table capacity. with_mask adds a
-    packed invalid-base bitmask operand (reads with Ns; see
+    C is each device's table capacity. with_mask adds a packed
+    invalid-base bitmask operand (reads with Ns; see
     utils.dna.pack_invalid_mask) whose windows are masked before routing.
 
     axis: one mesh axis name, or a tuple of axis names — a 2-level
     ('host', 'chip') pod mesh flattens into one logical all-to-all axis
     (XLA lowers the intra-host legs to ICI and the cross-host legs to DCN).
+
+    minimizer_len set routes minimizer super-k-mer records instead of
+    per-window keys (ops/superkmer.py): ~3-6x less all-to-all volume for
+    k=31/m=15; owners re-extract the windows from the packed substrings.
+    Identical counts either way (a k-mer's minimizer is a function of the
+    k-mer, so all its occurrences share one owner).
     """
     from .mesh import axis_size
 
     d = axis_size(mesh, axis)
     w = key_words(k)
 
+    def window_bad(bad_plane):
+        wc = read_len - k + 1
+        out = None
+        for j in range(k):
+            s = jax.lax.dynamic_slice_in_dim(bad_plane, j, wc, axis=1)
+            out = s if out is None else (out | s)
+        return out
+
+    def local_step_minimizer(reads, n_valid, inv_mask=None):
+        from ..ops.superkmer import (
+            RUN_CAP,
+            extract_from_records,
+            span_words,
+            superkmer_records,
+            window_minimizers,
+        )
+        from .compress import _bucket_pack
+
+        unpacked = unpack_codes(reads[0], read_len)
+        b = unpacked.shape[0]
+        wc = read_len - k + 1
+        row_ok = jnp.arange(b, dtype=jnp.int32) < n_valid[0]
+        wv = jnp.broadcast_to(row_ok[:, None], (b, wc))
+        if inv_mask is not None:
+            from ..ops.kmer_jax import unpack_invalid_mask
+
+            wv = wv & ~window_bad(unpack_invalid_mask(inv_mask[0], read_len))
+        hmin, mpos = window_minimizers(unpacked, k, minimizer_len)
+        brk, run, sub, _ = superkmer_records(unpacked, k, hmin, mpos, wv)
+        sw = span_words(k)
+        n = b * wc
+        rec = jnp.concatenate(
+            [
+                sub.reshape(n, sw).astype(jnp.int32),
+                run.reshape(n, 1),
+            ],
+            axis=1,
+        )
+        owner = (hmin.reshape(n) % jnp.uint32(d)).astype(jnp.int32)
+        send, overflow = _bucket_pack(
+            rec, owner, brk.reshape(n), d, bucket_cap
+        )
+        recv = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=False
+        ).reshape(d * bucket_cap, sw + 1)
+        keys, _ = extract_from_records(
+            recv[:, :sw].astype(jnp.uint32), recv[:, sw], k
+        )
+        table = count_jax.count_keys(keys)
+        overflow = jax.lax.pmax(
+            (overflow | table.overflow).astype(jnp.int32), axis
+        )
+        return (
+            table.words,
+            table.counts,
+            table.num_unique[None],
+            overflow > 0,
+        )
+
     def local_step(reads, n_valid, inv_mask=None):
+        if minimizer_len is not None:
+            return local_step_minimizer(reads, n_valid, inv_mask)
         # reads arrive 2-bit packed (4x smaller host->device transfer)
         unpacked = unpack_codes(reads[0], read_len)
         bad = None
@@ -162,7 +229,7 @@ def make_distributed_count(
 
 def _run_distributed_step(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh,
-    bucket_cap: int | None, axis,
+    bucket_cap: int | None, axis, minimizer_len: int | None = None,
 ):
     """Shared front half of the distributed counters: pad + shard + pack
     the reads, build/run the jitted step, check routing overflow.
@@ -183,14 +250,19 @@ def _run_distributed_step(
     n_valid = np.clip(b - per_dev * np.arange(d), 0, per_dev).astype(np.int32)
     windows = per_dev * (length - cfg.k + 1)
     if bucket_cap is None:
-        # expected windows/bucket plus generous skew slack
-        bucket_cap = int(windows / d * 1.5) + 64
+        if minimizer_len is not None:
+            # records per device ~ windows / mean run; assume a
+            # conservative mean run of 3 plus skew slack
+            bucket_cap = int(windows / 3 / d * 1.6) + 128
+        else:
+            # expected windows/bucket plus generous skew slack
+            bucket_cap = int(windows / d * 1.5) + 64
     from ..utils.dna import pack_invalid_mask
 
     inv_mask = pack_invalid_mask(reads)
     step = make_distributed_count(
         mesh, cfg.k, per_dev, length, bucket_cap, axis,
-        with_mask=inv_mask is not None,
+        with_mask=inv_mask is not None, minimizer_len=minimizer_len,
     )
     sharding = NamedSharding(mesh, P(axis, None, None))
     packed = pack_codes(reads)
@@ -213,6 +285,7 @@ def _run_distributed_step(
 def distributed_count_to_host(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
     bucket_cap: int | None = None, axis=None,
+    minimizer_len: int | None = None,
 ) -> dict[str, int]:
     """Count reads over the mesh; gather the global table as a host dict."""
     from .mesh import axis_size, mesh_axes
@@ -220,7 +293,7 @@ def distributed_count_to_host(
     axis = axis if axis is not None else mesh_axes(mesh)
     d = axis_size(mesh, axis)
     words, counts, num_unique = _run_distributed_step(
-        reads, cfg, mesh, bucket_cap, axis
+        reads, cfg, mesh, bucket_cap, axis, minimizer_len
     )
     from ..utils.jaxenv import to_host
 
@@ -237,6 +310,7 @@ def distributed_count_to_host(
 def distributed_count_table(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
     bucket_cap: int | None = None, axis=None,
+    minimizer_len: int | None = None,
 ) -> "count_jax.CountTable":
     """Count reads over the mesh; merge shard tables into one CountTable.
 
@@ -249,7 +323,7 @@ def distributed_count_table(
 
     axis = axis if axis is not None else mesh_axes(mesh)
     words, counts, _ = _run_distributed_step(
-        reads, cfg, mesh, bucket_cap, axis
+        reads, cfg, mesh, bucket_cap, axis, minimizer_len
     )
     # Gather shard tables and re-count with multiplicity weights: shard
     # keys are disjoint, so this is a pure re-sort into global order.
@@ -340,6 +414,7 @@ def assemble_distributed_sharded(
     checkpoint: str | None = None,
     resume_from: str | None = None,
     return_graph: bool = False,
+    minimizer_len: int | None = None,
 ) -> list[str]:
     """Fully sharded assembly: the graph never gathers onto one device.
 
@@ -378,7 +453,7 @@ def assemble_distributed_sharded(
     else:
         with m.stage("count"):
             words, counts, num_unique = _run_distributed_step(
-                reads, cfg, mesh, bucket_cap, axis
+                reads, cfg, mesh, bucket_cap, axis, minimizer_len
             )
             _sync(counts[:1])
     if checkpoint is not None:
@@ -448,6 +523,7 @@ def assemble_distributed(
     checkpoint: str | None = None,
     resume_from: str | None = None,
     return_graph: bool = False,
+    minimizer_len: int | None = None,
 ) -> list[str]:
     """End-to-end multi-device assembly: reads -> canonical contigs.
 
@@ -481,7 +557,9 @@ def assemble_distributed(
             table = load_table(resume_from)
         else:
             with m.stage("count"):
-                table = distributed_count_table(reads, cfg, mesh)
+                table = distributed_count_table(
+                    reads, cfg, mesh, minimizer_len=minimizer_len
+                )
                 sync(table.num_unique)
         if checkpoint is not None:
             save_table(table, checkpoint)
@@ -504,7 +582,9 @@ def assemble_distributed(
             contigs = _emit(graph, emit)
         return (contigs, graph) if return_graph else contigs
     with m.stage("count"):
-        counts = distributed_count_to_host(reads, cfg, mesh)
+        counts = distributed_count_to_host(
+            reads, cfg, mesh, minimizer_len=minimizer_len
+        )
     min_count = cfg.min_count
     if min_count == 0:
         min_count = auto_min_count(
