@@ -170,8 +170,21 @@ def cmd_assemble(args) -> int:
                 reads = np.stack(
                     [encode_seq(s, mask_invalid=True) for s in seqs]
                 )
-            else:
+            elif args.backend == "oracle":
                 reads = seqs  # ragged: dict counting path
+            else:
+                # ragged reads pad to the max length with INVALID_CODE:
+                # padding windows mask to the sentinel exactly like Ns, so
+                # the fixed-shape device batch counts precisely the real
+                # windows (no dict fallback needed)
+                from .utils.dna import INVALID_CODE
+
+                max_len = max(lens)
+                reads = np.full(
+                    (len(seqs), max_len), INVALID_CODE, dtype=np.uint8
+                )
+                for i, s in enumerate(seqs):
+                    reads[i, : len(s)] = encode_seq(s, mask_invalid=True)
             n_reads = len(seqs)
     else:
         reads, _ = _simulated_reads(args)

@@ -85,3 +85,27 @@ def test_accept_cli(monkeypatch, capsys):
 def test_missing_input_errors():
     with pytest.raises(SystemExit):
         main(["assemble", "-k", "25"])
+
+
+def test_ragged_reads_tpu_backend(tmp_path):
+    """Ragged reads pad with masked windows -> tpu backend == oracle."""
+    from genome_assembler_tpu.cli import main, read_sequences
+    from genome_assembler_tpu.utils.dna import decode_seq
+    from genome_assembler_tpu.utils.simulate import (
+        simulate_genome,
+        simulate_reads,
+    )
+
+    genome = simulate_genome(1200, seed=201)
+    rs = simulate_reads(genome, coverage=15, read_len=90, seed=202)
+    reads_path = tmp_path / "ragged.txt"
+    with open(reads_path, "w") as fh:
+        for i, row in enumerate(rs.codes):
+            # vary lengths 60..90
+            fh.write(decode_seq(row)[: 60 + (i % 4) * 10] + "\n")
+    out_o = tmp_path / "o.fa"
+    out_t = tmp_path / "t.fa"
+    base = ["assemble", "--reads", str(reads_path), "-k", "25"]
+    assert main(base + ["--out", str(out_o)]) == 0
+    assert main(base + ["--backend", "tpu", "--out", str(out_t)]) == 0
+    assert read_sequences(str(out_t)) == read_sequences(str(out_o))
