@@ -141,15 +141,67 @@ class _neg_canon:
         return isinstance(other, _neg_canon) and self.s == other.s
 
 
+def _find_low_cov_islands(
+    g: UnitigGraph, tip_len: int, min_count: int
+) -> list[int]:
+    """Short, low-coverage, fully isolated unitigs (error islands).
+
+    A cluster of same-substitution errors can survive the coverage filter
+    (at 100x, P[>= min_count identical errors at one site] is small but
+    the genome offers ~3*len(genome) chances), and once its neighbors are
+    filtered it is an island — both ends dead — which tip removal
+    deliberately keeps. Rule (normative, deterministic, strand-symmetric;
+    standard low-coverage contig pruning): drop a unitig iff NO other
+    unitig touches either endpoint, it spans <= tip_len edges, its
+    coverage barely cleared the filter (< 2 * min_count — genuine
+    sequence sits at sequencing depth, error survivors hug the cutoff),
+    and it is < 1/4 of the edge-weighted median coverage. Genuine short
+    contigs are untouched, as are circular islands (self-adjacent).
+    """
+    total = sum(u.edges for u in g.unitigs)
+    if total == 0:
+        return []
+    half = total / 2
+    acc = 0
+    median = g.unitigs[-1].cov if g.unitigs else 0.0
+    for i in sorted(range(len(g.unitigs)), key=lambda j: g.unitigs[j].cov):
+        acc += g.unitigs[i].edges
+        if acc >= half:
+            median = g.unitigs[i].cov
+            break
+    doomed = []
+    for i, u in enumerate(g.unitigs):
+        if (
+            u.edges > tip_len
+            or u.cov >= 2 * min_count
+            or u.cov >= 0.25 * median
+        ):
+            continue
+        isolated = (
+            len(g.in_ids(u.start)) == 0
+            and len(g.out_ids(u.end)) == 0
+            and g.out_ids(u.start) == [i]
+            and g.in_ids(u.end) == [i]
+        )
+        if isolated:
+            doomed.append(i)
+    return doomed
+
+
 def simplify_unitigs(
-    unitigs: list[Unitig], k: int, tip_len: int, bubble_len: int
+    unitigs: list[Unitig], k: int, tip_len: int, bubble_len: int,
+    min_count: int = 1,
 ) -> UnitigGraph:
-    """Iterate tip + bubble removal (with chain re-merging) to fixpoint."""
+    """Iterate tip + bubble + island removal (with chain re-merging) to
+    fixpoint. min_count anchors the error-island rule (the resolved
+    coverage-filter threshold of the run)."""
     for _ in range(_MAX_ROUNDS):
         g = build_unitig_graph(unitigs, k)
         doomed = set(_find_tips(g, tip_len))
         if not doomed:
             doomed = set(_find_bubble_losers(g, bubble_len))
+        if not doomed:
+            doomed = set(_find_low_cov_islands(g, tip_len, min_count))
         if not doomed:
             return g
         survivors = [u for i, u in enumerate(unitigs) if i not in doomed]
@@ -162,8 +214,9 @@ def simplify_counts(
     k: int,
     tip_len: int,
     bubble_len: int,
+    min_count: int = 1,
 ) -> UnitigGraph:
     """Canonical counts -> simplified strand-symmetric unitig graph."""
     edges = both_strand_edges(canonical_counts)
     unitigs = compress_unitigs(edges, k)
-    return simplify_unitigs(unitigs, k, tip_len, bubble_len)
+    return simplify_unitigs(unitigs, k, tip_len, bubble_len, min_count)

@@ -73,7 +73,8 @@ def assemble_from_counts(
         )
     kept = {km: c for km, c in counts.items() if c >= min_count}
     graph = simplify_counts(
-        kept, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+        kept, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len,
+        min_count,
     )
     if emit == "euler":
         from ..host.traverse import emit_contigs_euler

@@ -357,13 +357,15 @@ def assemble_tpu(
             unitigs = spell_device_unitigs(dev, cfg.k)
         with m.stage("simplify"):
             graph = simplify_unitigs(
-                unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+                unitigs, cfg.k, cfg.resolved_tip_len,
+                cfg.resolved_bubble_len, min_count,
             )
     else:
         with m.stage("host_graph"):
             counts = table_to_host_counts(table, cfg.k)
             graph = simplify_counts(
-                counts, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+                counts, cfg.k, cfg.resolved_tip_len,
+                cfg.resolved_bubble_len, min_count,
             )
     with m.stage("traverse"):
         if emit == "euler":

@@ -389,7 +389,9 @@ def spell_quads_host(
     uid_o = uid[order]
     base_o = base[order]
     lengths = np.bincount(uid_o, minlength=u).astype(np.int64)
-    cov_sum = np.bincount(uid_o, weights=cov.astype(np.float64), minlength=u)
+    # weights must stay aligned with their uids — sum over the UNSORTED
+    # pair (bincount pairs weights[i] with uid[i])
+    cov_sum = np.bincount(uid, weights=cov.astype(np.float64), minlength=u)
     head_words = np.zeros((u, w), dtype=np.uint32)
     head_words[uid[heads]] = words[heads]
 

@@ -504,7 +504,8 @@ def assemble_distributed_sharded(
         )
     with m.stage("simplify"):
         graph = simplify_unitigs(
-            unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+            unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len,
+            min_count,
         )
     with m.stage("traverse"):
         contigs = _emit(graph, emit)
@@ -576,7 +577,8 @@ def assemble_distributed(
             unitigs = spell_device_unitigs(dev, cfg.k)
         with m.stage("simplify"):
             graph = simplify_unitigs(
-                unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+                unitigs, cfg.k, cfg.resolved_tip_len,
+                cfg.resolved_bubble_len, min_count,
             )
         with m.stage("traverse"):
             contigs = _emit(graph, emit)
@@ -594,7 +596,8 @@ def assemble_distributed(
         kept = {km: c for km, c in counts.items() if c >= min_count}
     with m.stage("simplify"):
         graph = simplify_counts(
-            kept, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len
+            kept, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len,
+            min_count,
         )
     with m.stage("traverse"):
         contigs = _emit(graph, emit)

@@ -105,3 +105,47 @@ def test_strand_symmetry_of_simplification():
     g_fwd = simplify_counts(count_canonical_dict(reads, k), k, 2 * k, 2 * k)
     g_rc = simplify_counts(count_canonical_dict(rc_reads, k), k, 2 * k, 2 * k)
     assert emit_contigs(g_fwd) == emit_contigs(g_rc)
+
+
+def test_low_cov_island_pruned():
+    """An isolated, short unitig whose coverage hugs the filter cutoff
+    (surviving error cluster) is pruned; genuine isolated contigs are
+    kept (r2 fix for the CFG-1 full-scale artifact)."""
+    import numpy as np
+
+    from genome_assembler_tpu.host.dbg import Unitig
+    from genome_assembler_tpu.host.simplify import simplify_unitigs
+    from genome_assembler_tpu.utils.dna import decode_seq, revcomp_str
+
+    def twins(seq, cov, k):
+        edges = len(seq) - k + 1
+        return [
+            Unitig(seq=seq, cov=cov, edges=edges, k=k),
+            Unitig(seq=revcomp_str(seq), cov=cov, edges=edges, k=k),
+        ]
+
+    k = 15  # long enough that random strings share no (k-1)-mers
+    rng = np.random.default_rng(3)
+    main = decode_seq(rng.integers(0, 4, 80).astype(np.uint8))
+    island = decode_seq(rng.integers(0, 4, 25).astype(np.uint8))
+    mc = 5  # run's coverage-filter threshold
+    # island at cov 6 (hugging the min_count=5 cutoff): pruned
+    g = simplify_unitigs(
+        twins(main, 100.0, k) + twins(island, 6.0, k), k, 30, 30, mc
+    )
+    assert sorted(len(u.seq) for u in g.unitigs) == [len(main)] * 2
+    # same island at healthy coverage: kept
+    g2 = simplify_unitigs(
+        twins(main, 100.0, k) + twins(island, 90.0, k), k, 30, 30, mc
+    )
+    assert len(g2.unitigs) == 4
+    # low-coverage but LONG isolated contig: kept (edges > tip_len)
+    g3 = simplify_unitigs(
+        twins(main, 100.0, k) + twins(island, 6.0, k), k, 8, 8, mc
+    )
+    assert len(g3.unitigs) == 4
+    # with min_count=1 a cov-6 island is NOT near the cutoff: kept
+    g4 = simplify_unitigs(
+        twins(main, 100.0, k) + twins(island, 6.0, k), k, 30, 30, 1
+    )
+    assert len(g4.unitigs) == 4
