@@ -123,9 +123,11 @@ def cmd_simulate(args) -> int:
     return 0
 
 
-def _graph_outputs(args, graph) -> list[float]:
+def _graph_outputs(args, graph) -> tuple[list[str], list[float]]:
     """Shared graph-based outputs for graph-producing backends:
-    optional GFA 1.0 export + per-contig mean k-mer coverage headers."""
+    optional GFA 1.0 export + (contigs, per-contig mean k-mer coverage).
+    One traversal serves both (emit_contigs is the seq column of the
+    with-coverage emitters), so callers drop their own emitted list."""
     if args.gfa:
         from .host.stats import write_gfa
 
@@ -141,7 +143,7 @@ def _graph_outputs(args, graph) -> list[float]:
         if args.emit == "euler"
         else emit_contigs_with_cov(graph)
     )
-    return [c for _, c in with_cov]
+    return [s for s, _ in with_cov], [c for _, c in with_cov]
 
 
 def cmd_assemble(args) -> int:
@@ -227,7 +229,7 @@ def cmd_assemble(args) -> int:
                 checkpoint=args.checkpoint, resume_from=args.resume_from,
                 return_graph=True, minimizer_len=args.minimizer_len,
             )
-        coverages = _graph_outputs(args, graph)
+        contigs, coverages = _graph_outputs(args, graph)
     else:  # tpu
         from .models.pipeline import assemble_tpu
         from .utils.metrics import Metrics
@@ -245,7 +247,7 @@ def cmd_assemble(args) -> int:
             return_graph=True,
             emit=args.emit,
         )
-        coverages = _graph_outputs(args, graph)
+        contigs, coverages = _graph_outputs(args, graph)
     dt = time.perf_counter() - t0
     if args.metrics_out and metrics is not None:
         metrics.dump(args.metrics_out)

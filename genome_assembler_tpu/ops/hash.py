@@ -37,11 +37,6 @@ def mix_words(words):
 
 
 def mix32(x):
-    """Single-word variant of mix_words for u32 values (minimizer hashes)."""
-    h = x * _P1
-    h = h ^ (h >> 15)
-    h = h * _P4
-    h = h ^ (h >> 13)
-    h = h * _P2
-    h = h ^ (h >> 16)
-    return h
+    """Single-word mix for u32 values (minimizer hashes) — the w=1 case
+    of mix_words, so the two routing hashes can never diverge."""
+    return mix_words(x[..., None])

@@ -46,6 +46,12 @@ def span_words(k: int) -> int:
     return (2 * (RUN_CAP + k - 1) + 31) // 32
 
 
+def mean_run(k: int, m: int) -> float:
+    """Expected windows per super-k-mer for random sequence, ~(k-m+2)/2,
+    capped by RUN_CAP and discounted for variance (capacity sizing)."""
+    return max(1.0, min((k - m + 2) / 2, RUN_CAP) * 0.7)
+
+
 def _canonical_mmer_hash(reads: jax.Array, m: int) -> jax.Array:
     """[B, L] codes -> [B, L-m+1] mixed hash of each canonical m-mer."""
     if not 1 <= m <= 16:
@@ -74,6 +80,8 @@ def window_minimizers(
     mpos [B, WC] i32 — its absolute position, leftmost on ties, the run
     identity). WC = L - k + 1.
     """
+    if m > k:
+        raise ValueError(f"minimizer length m={m} must be <= k={k}")
     b, length = reads.shape
     wc = length - k + 1
     hm = _canonical_mmer_hash(reads, m)  # [B, L-m+1]

@@ -170,6 +170,23 @@ def make_distributed_count(
             recv[:, :sw].astype(jnp.uint32), recv[:, sw], k
         )
         table = count_jax.count_keys(keys)
+        # the record lanes over-allocate ~RUN_CAP/mean_run x; truncate the
+        # (compact-front) table to a window-scale capacity so downstream
+        # shards and host pulls don't inherit the padding (overflow
+        # flagged, never silent)
+        # each owner receives ~1/D of the global windows = one device's
+        # window count (batch_per_device * wc), plus skew slack
+        out_cap = min(
+            keys.shape[0],
+            int(batch_per_device * (read_len - k + 1) * 1.5) + 256,
+        )
+        if out_cap < table.words.shape[0]:
+            table = count_jax.CountTable(
+                words=table.words[:out_cap],
+                counts=table.counts[:out_cap],
+                num_unique=jnp.minimum(table.num_unique, out_cap),
+                overflow=table.overflow | (table.num_unique > out_cap),
+            )
         overflow = jax.lax.pmax(
             (overflow | table.overflow).astype(jnp.int32), axis
         )
@@ -251,9 +268,13 @@ def _run_distributed_step(
     windows = per_dev * (length - cfg.k + 1)
     if bucket_cap is None:
         if minimizer_len is not None:
-            # records per device ~ windows / mean run; assume a
-            # conservative mean run of 3 plus skew slack
-            bucket_cap = int(windows / 3 / d * 1.6) + 128
+            from ..ops.superkmer import mean_run
+
+            # records per device ~ windows / expected run length
+            # (~(k-m+2)/2, variance-discounted) plus skew slack
+            bucket_cap = int(
+                windows / mean_run(cfg.k, minimizer_len) / d * 1.6
+            ) + 128
         else:
             # expected windows/bucket plus generous skew slack
             bucket_cap = int(windows / d * 1.5) + 64
