@@ -82,8 +82,23 @@ def _segment_reduce(
     )
     is_start = jnp.any(words_sorted != prev, axis=1).at[0].set(True)
     idx = jnp.arange(n, dtype=jnp.int32)
-    # next start strictly after lane i: reversed inclusive cummin of start
-    # indices, shifted by one lane.
+    sent = _is_sentinel(words_sorted)
+    real_start = is_start & ~sent
+    num_unique = jnp.sum(real_start.astype(jnp.int32))
+    unique = jnp.where(real_start[:, None], words_sorted, SENTINEL)
+    if weights is None:
+        # run lengths fall out of the compaction: carry each start's
+        # position through the 1-key compaction sort and diff neighbors
+        # (the runs are contiguous, sentinels sorted last) — no
+        # reversed-cummin scan pass needed on the raw extraction stream.
+        unique, pos = compact_front(real_start, unique, idx)
+        total_valid = jnp.sum((~sent).astype(jnp.int32))
+        nxt = jnp.concatenate([pos[1:], jnp.zeros(1, jnp.int32)])
+        nxt = jnp.where(idx == num_unique - 1, total_valid, nxt)
+        counts = jnp.where(idx < num_unique, nxt - pos, 0)
+        return unique, counts, num_unique
+    # weighted (merge) path: sum weights per run via inclusive cumsum
+    # between run boundaries (reversed cummin finds each lane's next start)
     start_or_inf = jnp.where(is_start, idx, n)
     next_start = jnp.concatenate(
         [
@@ -91,18 +106,11 @@ def _segment_reduce(
             jnp.full((1,), n, jnp.int32),
         ]
     )
-    if weights is None:
-        counts = next_start - idx
-    else:
-        weights = weights.astype(jnp.int32)
-        cs = jnp.cumsum(weights)  # inclusive
-        counts = cs[jnp.clip(next_start - 1, 0, n - 1)] - cs[idx] + weights
-    sent = _is_sentinel(words_sorted)
-    real_start = is_start & ~sent
+    weights = weights.astype(jnp.int32)
+    cs = jnp.cumsum(weights)  # inclusive
+    counts = cs[jnp.clip(next_start - 1, 0, n - 1)] - cs[idx] + weights
     counts = jnp.where(real_start, counts, 0)
-    unique = jnp.where(real_start[:, None], words_sorted, SENTINEL)
     unique, counts = compact_front(real_start, unique, counts)
-    num_unique = jnp.sum(real_start.astype(jnp.int32))
     return unique, counts, num_unique
 
 
