@@ -149,6 +149,32 @@ def main() -> int:
     stream_s = time.perf_counter() - t0
     measured_bw = 2 * n_windows * w * 4 / stream_s  # read + write
 
+    # Measured sort floor: the counting dispatch IS two lax.sort calls on
+    # this volume (count_jax.count_keys: a W-key sort of the key stream +
+    # a 1-key compaction sort with W+1 payload columns) plus elementwise
+    # scans that fuse into them. Timing those two sorts alone on identical
+    # shapes gives the device's achievable bound for any sort-based
+    # counter; frac_of_sort_floor is the honest "fraction of achievable"
+    # number on a platform whose tunnel caps the nominal HBM roofline
+    # (ARCHITECTURE.md records why a radix/bucket partition cannot beat
+    # this floor here: >= 3 stream passes >= the sort's measured cost).
+    cols = [jnp.zeros(n_windows, jnp.uint32) for _ in range(w + 2)]
+    sort1 = jax.jit(
+        lambda *c: jax.lax.sort(c, num_keys=w)[0]
+    )
+    sort2 = jax.jit(
+        lambda *c: jax.lax.sort(c, num_keys=1)[0]
+    )
+    sync(sort1(*cols[:w])[:1])
+    sync(sort2(*cols)[:1])
+    t0 = time.perf_counter()
+    sync(sort1(*cols[:w])[:1])
+    sort1_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sync(sort2(*cols)[:1])
+    sort2_s = time.perf_counter() - t0
+    sort_floor_s = sort1_s + sort2_s
+
     # Reference-style Python dict counting rate on a subsample.
     base_windows = int(os.environ.get("GA_BENCH_BASELINE_WINDOWS", 200_000))
     wpr = read_len - k + 1
@@ -206,6 +232,8 @@ def main() -> int:
             "min_traffic_roofline_frac": round(achieved_bw / hbm_peak, 4),
             "measured_stream_bw_gb_s": round(measured_bw / 1e9, 2),
             "frac_of_measured_bw": round(achieved_bw / measured_bw, 3),
+            "sort_floor_s": round(sort_floor_s, 4),
+            "frac_of_sort_floor": round(sort_floor_s / best, 3),
             "assemble_s": round(asm_s, 2),
             "assemble_reads_per_s": round(reads.shape[0] / asm_s, 1),
             "assemble_stages_s": {
