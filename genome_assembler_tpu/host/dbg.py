@@ -59,15 +59,25 @@ def both_strand_edges(canonical_counts: dict[str, int]) -> dict[str, int]:
 class Unitig:
     """A maximal non-branching chain, spelled as one sequence.
 
-    seq:   the spelled bases; len(seq) == (k-1) + edge count.
-    cov:   mean multiplicity of the constituent k-mer edges.
-    edges: number of k-mer edges in the chain.
+    seq:     the spelled bases; len(seq) == (k-1) + edge count.
+    cov_sum: summed multiplicity of the constituent k-mer edges — kept
+             exact (integer) so every coverage comparison in
+             simplification is a pure function of integers: the derived
+             mean is one IEEE f64 division, identical across the oracle,
+             device, and array paths (no float accumulation order to
+             diverge on).
+    edges:   number of k-mer edges in the chain.
     """
 
     seq: str
-    cov: float
+    cov_sum: int
     edges: int
     k: int
+
+    @property
+    def cov(self) -> float:
+        """Mean multiplicity of the constituent k-mer edges."""
+        return self.cov_sum / self.edges
 
     @property
     def start(self) -> str:
@@ -131,8 +141,8 @@ def compress_unitigs(edges: dict[str, int], k: int) -> list[Unitig]:
             consumed.add(nxt)
             node = nxt[1:]
         seq = chain[0] + "".join(e[-1] for e in chain[1:])
-        cov = sum(edges[e] for e in chain) / len(chain)
-        unitigs.append(Unitig(seq=seq, cov=cov, edges=len(chain), k=k))
+        cov_sum = sum(edges[e] for e in chain)
+        unitigs.append(Unitig(seq=seq, cov_sum=cov_sum, edges=len(chain), k=k))
 
     # Pass 1: chains anchored at junctions.
     for kmer in sorted(edges):
@@ -168,20 +178,24 @@ def unitig_kmers(u: Unitig) -> list[str]:
     return [u.seq[i : i + u.k] for i in range(u.edges)]
 
 
-def spell_device_unitigs(dev, k: int, u_cap: int | None = None) -> list[Unitig]:
-    """Spell ops.unitig_jax.DeviceUnitigs into host Unitigs.
+def spell_device_arrays(dev, k: int, u_cap: int | None = None):
+    """Spell ops.unitig_jax.DeviceUnitigs into columnar UnitigArrays.
 
     The device reduces the edge table to a compact transfer set
     (ops.unitig_jax.spell_arrays: the (uid, pos)-sorted base stream plus
     per-unitig head words / lengths / coverage sums) — the device->host
     link here runs at ~40 MB/s, so the full edge arrays must never cross
-    it. Host assembly is pure vectorized NumPy (np.repeat segment fills).
+    it. Host assembly is pure vectorized NumPy (np.repeat segment fills)
+    into the packed-code representation that array-native simplification
+    (host.simplify_arrays) consumes directly — no Python strings exist
+    until the final simplified graph is materialized.
 
-    u_cap bounds the per-unitig transfer; on overflow the cap doubles and
+    u_cap bounds the per-unitig transfer; on overflow the cap grows and
     the (cheap, device-side) reduction reruns.
     """
     from ..ops.count_jax import snug_capacity
     from ..ops.unitig_jax import spell_arrays
+    from .simplify_arrays import UnitigArrays
 
     e = dev.edge_words.shape[0]
     w = dev.edge_words.shape[1]
@@ -224,14 +238,26 @@ def spell_device_unitigs(dev, k: int, u_cap: int | None = None) -> list[Unitig]:
         widx = w - 1 - bitpos // 32
         base = (head_words[:, widx] >> np.uint32(bitpos % 32)) & np.uint32(3)
         buf[head_off + j] = base.astype(np.uint8)
+    return UnitigArrays(
+        buf=buf, off=offsets, edges=lengths, cov_sum=cov_sum, k=k
+    )
 
-    raw = _DECODE_LUT[buf].tobytes()
+
+def spell_device_unitigs(dev, k: int, u_cap: int | None = None) -> list[Unitig]:
+    """Spell DeviceUnitigs into host Unitig objects (string form).
+
+    Thin decode over spell_device_arrays — kept for the debug/oracle
+    comparison surfaces; the pipeline feeds the arrays form straight into
+    array-native simplification.
+    """
+    ua = spell_device_arrays(dev, k, u_cap)
+    raw = _DECODE_LUT[ua.buf].tobytes()
     return [
         Unitig(
-            seq=raw[offsets[i] : offsets[i + 1]].decode(),
-            cov=cov_sum[i] / lengths[i],
-            edges=int(lengths[i]),
+            seq=raw[ua.off[i] : ua.off[i + 1]].decode(),
+            cov_sum=int(ua.cov_sum[i]),
+            edges=int(ua.edges[i]),
             k=k,
         )
-        for i in range(u)
+        for i in range(ua.num)
     ]

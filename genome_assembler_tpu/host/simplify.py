@@ -75,8 +75,10 @@ def merge_chains(unitigs: list[Unitig], k: int) -> list[Unitig]:
         parts = [unitigs[chain[0]].seq]
         parts.extend(unitigs[i].seq[k - 1 :] for i in chain[1:])
         edges = sum(unitigs[i].edges for i in chain)
-        cov = sum(unitigs[i].cov * unitigs[i].edges for i in chain) / edges
-        merged.append(Unitig(seq="".join(parts), cov=cov, edges=edges, k=k))
+        cov_sum = sum(unitigs[i].cov_sum for i in chain)
+        merged.append(
+            Unitig(seq="".join(parts), cov_sum=cov_sum, edges=edges, k=k)
+        )
 
     for i in order:
         if not consumed[i] and is_junction(unitigs[i].start):

@@ -195,9 +195,7 @@ def emit_contigs_euler_with_cov(
     for walk in euler_walks(g):
         seq = spell_walk(g, walk)
         edges = sum(g.unitigs[i].edges for i in walk)
-        cov = (
-            sum(g.unitigs[i].cov * g.unitigs[i].edges for i in walk) / edges
-        )
+        cov = sum(g.unitigs[i].cov_sum for i in walk) / edges
         closed = (
             g.unitigs[walk[0]].start == g.unitigs[walk[-1]].end
             and len(seq) > overlap

@@ -342,8 +342,8 @@ def assemble_tpu(
         table = count_jax.filter_table(table, min_count)
         table = count_jax.compact_table(table)
     if device_unitigs and cfg.k % 2 == 1:
-        from ..host.dbg import spell_device_unitigs
-        from ..host.simplify import simplify_unitigs
+        from ..host.dbg import spell_device_arrays
+        from ..host.simplify_arrays import simplify_arrays_to_graph
         from ..ops.unitig_jax import compress_unitigs_device
 
         if bool(table.overflow):
@@ -354,10 +354,14 @@ def assemble_tpu(
             dev = compress_unitigs_device(table, cfg.k)
             sync(dev.num_unitigs)
         with m.stage("spell"):
-            unitigs = spell_device_unitigs(dev, cfg.k)
+            ua = spell_device_arrays(dev, cfg.k)
         with m.stage("simplify"):
-            graph = simplify_unitigs(
-                unitigs, cfg.k, cfg.resolved_tip_len,
+            # array-native path (host.simplify_arrays): vectorized NumPy
+            # over packed codes, property-tested equal to the normative
+            # host.simplify rules; strings materialize only here, for the
+            # final simplified graph
+            graph = simplify_arrays_to_graph(
+                ua, cfg.resolved_tip_len,
                 cfg.resolved_bubble_len, min_count,
             )
     else:

@@ -363,16 +363,17 @@ def peak_rows_per_device(d: int, c_shard: int) -> int:
     return max(2 * k_cap, d * cap_join)
 
 
-def spell_quads_host(
+def spell_quads_arrays(
     valid, uid, pos, cov, last_base, heads, edge_words, num_unitigs, k
 ):
-    """Assemble host Unitig objects from gathered per-edge quads.
+    """Assemble columnar UnitigArrays from gathered per-edge quads.
 
-    Host-RAM NumPy; mirrors host.dbg.spell_device_unitigs' output exactly
+    Host-RAM NumPy; mirrors host.dbg.spell_device_arrays' output exactly
     (same ordering and coverage semantics) so the downstream simplify/
-    traverse stages are shared.
+    traverse stages are shared. No strings are built — array-native
+    simplification consumes the packed codes directly.
     """
-    from ..host.dbg import Unitig, _DECODE_LUT
+    from ..host.simplify_arrays import UnitigArrays
     from ..utils.jaxenv import to_host
 
     valid = to_host(valid)
@@ -413,13 +414,32 @@ def spell_quads_host(
         widx = w - 1 - bitpos // 32
         b = (head_words[:, widx] >> np.uint32(bitpos % 32)) & np.uint32(3)
         buf[head_off + j] = b.astype(np.uint8)
-    raw = _DECODE_LUT[buf].tobytes()
+    return UnitigArrays(
+        buf=buf,
+        off=offsets,
+        edges=lengths,
+        cov_sum=cov_sum.astype(np.int64),
+        k=k,
+    )
+
+
+def spell_quads_host(
+    valid, uid, pos, cov, last_base, heads, edge_words, num_unitigs, k
+):
+    """String-form spelling (debug/comparison surface): decode the
+    columnar spell into host Unitig objects."""
+    from ..host.dbg import Unitig, _DECODE_LUT
+
+    ua = spell_quads_arrays(
+        valid, uid, pos, cov, last_base, heads, edge_words, num_unitigs, k
+    )
+    raw = _DECODE_LUT[ua.buf].tobytes()
     return [
         Unitig(
-            seq=raw[offsets[i] : offsets[i + 1]].decode(),
-            cov=cov_sum[i] / lengths[i],
-            edges=int(lengths[i]),
+            seq=raw[ua.off[i] : ua.off[i + 1]].decode(),
+            cov_sum=int(ua.cov_sum[i]),
+            edges=int(ua.edges[i]),
             k=k,
         )
-        for i in range(u)
+        for i in range(ua.num)
     ]

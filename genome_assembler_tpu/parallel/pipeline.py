@@ -448,11 +448,11 @@ def assemble_distributed_sharded(
     checkpoint/resume_from: the pre-filter hash-sharded count table as
     .npz (mesh size and k must match on resume).
     """
-    from ..host.simplify import simplify_unitigs
+    from ..host.simplify_arrays import simplify_arrays_to_graph
     from ..models.pipeline import auto_min_count
     from ..ops.count_jax import snug_capacity
     from ..utils.metrics import Metrics
-    from .compress import make_sharded_compress, spell_quads_host
+    from .compress import make_sharded_compress, spell_quads_arrays
     from .mesh import axis_size, build_mesh, mesh_axes, num_hosts
 
     if cfg.k % 2 == 0:
@@ -519,14 +519,13 @@ def assemble_distributed_sharded(
                 "sharded compression routing overflow; increase slack caps"
             )
     with m.stage("spell"):
-        unitigs = spell_quads_host(
+        ua = spell_quads_arrays(
             valid, uid, pos, cov, last_base, heads, edge_words,
             int(to_host(num_unitigs)[0]), cfg.k,
         )
     with m.stage("simplify"):
-        graph = simplify_unitigs(
-            unitigs, cfg.k, cfg.resolved_tip_len, cfg.resolved_bubble_len,
-            min_count,
+        graph = simplify_arrays_to_graph(
+            ua, cfg.resolved_tip_len, cfg.resolved_bubble_len, min_count
         )
     with m.stage("traverse"):
         contigs = _emit(graph, emit)
@@ -571,8 +570,8 @@ def assemble_distributed(
     m.count("kmers", reads.shape[0] * (reads.shape[1] - cfg.k + 1))
     m.count("hosts", num_hosts(mesh))
     if cfg.k % 2 == 1:
-        from ..host.dbg import spell_device_unitigs
-        from ..host.simplify import simplify_unitigs
+        from ..host.dbg import spell_device_arrays
+        from ..host.simplify_arrays import simplify_arrays_to_graph
         from ..ops.unitig_jax import compress_unitigs_device
 
         if resume_from is not None:
@@ -595,11 +594,11 @@ def assemble_distributed(
             dev = compress_unitigs_device(table, cfg.k)
             sync(dev.num_unitigs)
         with m.stage("spell"):
-            unitigs = spell_device_unitigs(dev, cfg.k)
+            ua = spell_device_arrays(dev, cfg.k)
         with m.stage("simplify"):
-            graph = simplify_unitigs(
-                unitigs, cfg.k, cfg.resolved_tip_len,
-                cfg.resolved_bubble_len, min_count,
+            graph = simplify_arrays_to_graph(
+                ua, cfg.resolved_tip_len, cfg.resolved_bubble_len,
+                min_count,
             )
         with m.stage("traverse"):
             contigs = _emit(graph, emit)

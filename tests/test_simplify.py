@@ -82,8 +82,8 @@ def test_merge_chains_weighted_coverage():
     k = 5
     # two abutting chains with different coverages merge; coverage is the
     # edge-weighted mean
-    u1 = Unitig(seq="ACGTTGCA", cov=10.0, edges=4, k=k)  # ends "TTGCA"[-4:]
-    u2 = Unitig(seq=u1.seq[-(k - 1) :] + "AC", cov=4.0, edges=2, k=k)
+    u1 = Unitig(seq="ACGTTGCA", cov_sum=40, edges=4, k=k)  # ends "TTGCA"[-4:]
+    u2 = Unitig(seq=u1.seq[-(k - 1) :] + "AC", cov_sum=8, edges=2, k=k)
     assert u1.end == u2.start
     merged = merge_chains([u1, u2], k)
     assert len(merged) == 1
@@ -120,8 +120,11 @@ def test_low_cov_island_pruned():
     def twins(seq, cov, k):
         edges = len(seq) - k + 1
         return [
-            Unitig(seq=seq, cov=cov, edges=edges, k=k),
-            Unitig(seq=revcomp_str(seq), cov=cov, edges=edges, k=k),
+            Unitig(seq=seq, cov_sum=int(cov * edges), edges=edges, k=k),
+            Unitig(
+                seq=revcomp_str(seq), cov_sum=int(cov * edges), edges=edges,
+                k=k,
+            ),
         ]
 
     k = 15  # long enough that random strings share no (k-1)-mers
