@@ -1,11 +1,12 @@
 """Tip and bubble removal on the unitig graph (reference C6/C7).
 
-Runs on the host over the compressed unitig graph — after compression the
-branchy residue is thousands of unitigs, not millions of k-mers
-(SURVEY.md §7 M4), so plain Python is fine here. The same code serves both
-pipelines: the oracle compresses k-mer dicts on host, the TPU path
-compresses on device (ops.unitig_jax); both hand a unitig list to
-``simplify_unitigs``.
+This module is the NORMATIVE SPEC: the rules below, written as plain
+Python over Unitig objects, define simplification semantics for every
+path. The oracle runs this code directly; the TPU pipelines run the
+vectorized mirror (``host.simplify_arrays`` — O(U) array passes over a
+segment view, no string churn), which is property-tested equal to this
+implementation on the same inputs. Keep the two in lockstep: any rule
+change lands here first, then in the array mirror, with a parity test.
 
 Rules (normative, strand-symmetric, deterministic — SURVEY.md §7 hard parts):
 
