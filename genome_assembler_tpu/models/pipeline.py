@@ -98,19 +98,34 @@ def _merge_step(table, batch_table):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "use_pallas", "out_cap", "read_len"),
+    static_argnames=("k", "use_pallas", "read_len"),
     donate_argnums=(0,),
 )
 def _stream_step(
-    table, reads, k, n_valid, use_pallas=False, out_cap=None, read_len=None,
+    table, reads, k, n_valid, use_pallas=False, read_len=None,
     inv_mask=None,
 ):
-    """Fused streaming step: count one batch and merge into the running
-    table in a single dispatch (donating the old table's buffers)."""
-    batch = _count_batch.__wrapped__(
-        reads, k, n_valid, use_pallas, out_cap, read_len, inv_mask
-    )
-    return count_jax.merge_tables(table, batch)
+    """Fused streaming step: extract one batch's raw canonical key stream
+    and weighted-merge it straight into the running table in a single
+    dispatch (donating the old table's buffers). Skipping the per-batch
+    sort-count halves the sorted rows per streamed batch
+    (count_jax.merge_raw_keys)."""
+    bad = None
+    if inv_mask is not None:
+        from ..ops.kmer_jax import unpack_invalid_mask
+
+        bad = unpack_invalid_mask(inv_mask, read_len or reads.shape[1])
+    if read_len is not None:
+        from ..ops.kmer_jax import unpack_codes
+
+        reads = unpack_codes(reads, read_len)
+    if use_pallas:
+        from ..ops.kmer_pallas import extract_canonical_flat_pallas
+
+        keys, _ = extract_canonical_flat_pallas(reads, k, n_valid, bad=bad)
+    else:
+        keys, _ = extract_canonical_flat(reads, k, n_valid, bad)
+    return count_jax.merge_raw_keys(table, keys)
 
 
 def count_reads_device(
@@ -199,7 +214,7 @@ def count_reads_device(
         n_valid = np.int32(min(max(b - start, 0), batch))
         table = _stream_step(
             table, chunk_dev, cfg.k, n_valid, use_pallas,
-            out_cap=capacity, read_len=length, inv_mask=bm_dev,
+            read_len=length, inv_mask=bm_dev,
         )
     return table
 

@@ -187,6 +187,33 @@ def merge_tables(table: CountTable, batch: CountTable) -> CountTable:
     )
 
 
+@jax.jit
+def merge_raw_keys(table: CountTable, keys: jax.Array) -> CountTable:
+    """Merge a raw (unsorted, uncounted) key stream into the running table.
+
+    The streaming fast path: instead of sort-counting the batch first and
+    then merging the two counted tables (four sorts over ~2x the rows),
+    the raw [N, W] extraction stream rides one weighted sort next to the
+    table rows — table lanes weigh their counts, stream lanes weigh 1,
+    sentinel (invalid-window) lanes are excluded by the segment reduce.
+    Bit-identical to count_keys + merge_tables (tested); ~2x fewer sorted
+    rows per streamed batch.
+    """
+    cap = table.words.shape[0]
+    words = jnp.concatenate([table.words, keys], axis=0)
+    weights = jnp.concatenate(
+        [table.counts, jnp.ones(keys.shape[0], jnp.int32)], axis=0
+    )
+    words_sorted, weights_sorted = sort_by_words(words, weights)
+    unique, counts, num_unique = _segment_reduce(words_sorted, weights_sorted)
+    return CountTable(
+        words=unique[:cap],
+        counts=counts[:cap],
+        num_unique=jnp.minimum(num_unique, cap),
+        overflow=table.overflow | (num_unique > cap),
+    )
+
+
 def snug_capacity(n: int, floor: int = 1 << 16) -> int:
     """Smallest grid capacity >= n, grid = {1, 1.25, 1.5, 1.75} x 2^k.
 

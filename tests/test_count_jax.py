@@ -97,6 +97,37 @@ def test_merge_tables_equals_joint_count():
     assert not bool(table.overflow)
 
 
+def test_merge_raw_keys_equals_count_then_merge():
+    # the streaming fast path must be bit-identical to count_keys +
+    # merge_tables, including invalid (sentinel) lanes in the stream
+    k = 25
+    a = _random_reads(21, 8, 50)
+    b = _random_reads(22, 8, 50)
+    keys_a, _ = kmer_jax.extract_canonical_flat(a, k)
+    # mask two of b's rows so the raw stream carries sentinel lanes
+    keys_b, _ = kmer_jax.extract_canonical_flat(b, k, np.int32(6))
+    cap = keys_a.shape[0] + keys_b.shape[0]
+    table = count_jax.empty_table(cap, key_words(k))
+    table = count_jax.merge_raw_keys(table, np.asarray(keys_a))
+    table = count_jax.merge_raw_keys(table, np.asarray(keys_b))
+    want = count_jax.empty_table(cap, key_words(k))
+    want = count_jax.merge_tables(want, count_jax.count_keys(np.asarray(keys_a)))
+    want = count_jax.merge_tables(want, count_jax.count_keys(np.asarray(keys_b)))
+    np.testing.assert_array_equal(np.asarray(table.words), np.asarray(want.words))
+    np.testing.assert_array_equal(np.asarray(table.counts), np.asarray(want.counts))
+    assert int(table.num_unique) == int(want.num_unique)
+    assert not bool(table.overflow)
+
+
+def test_merge_raw_keys_overflow_flag():
+    k = 15
+    reads = _random_reads(23, 4, 40)
+    keys, _ = kmer_jax.extract_canonical_flat(reads, k)
+    tiny = count_jax.empty_table(3, key_words(k))
+    merged = count_jax.merge_raw_keys(tiny, np.asarray(keys))
+    assert bool(merged.overflow)
+
+
 def test_merge_overflow_flag():
     k = 15
     reads = _random_reads(13, 4, 40)
