@@ -175,6 +175,53 @@ def main() -> int:
     sort2_s = time.perf_counter() - t0
     sort_floor_s = sort1_s + sort2_s
 
+    # Streaming-mode counting on the same workload (VERDICT r1 item 8):
+    # batches stream through merge_raw_keys with double-buffered uploads.
+    # Timed host-to-contigs (pack + transfer included) for both modes —
+    # streaming's overlap hides the transfer, single-shot pays it serially
+    # — so the ratio reflects what a user actually experiences. Capacity
+    # is genome-sized (snug), forcing the real streamed path; two batches
+    # exercise the merge.
+    from genome_assembler_tpu.ops.count_jax import snug_capacity
+
+    # two batches with minimal padding, whatever the workload size
+    stream_batch = max(256, -(-reads.shape[0] // 512) * 256)
+    stream_cfg = AssemblyConfig(
+        k=k, read_len=read_len, batch_reads=stream_batch
+    )
+    stream_cap = snug_capacity(int(table.num_unique))
+    stream_cmp = {}
+
+    def timed_count(fn):
+        fn()  # warm (compile)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            t = fn()
+            sync(t.num_unique)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    try:
+        stream_s = timed_count(
+            lambda: count_reads_device(
+                reads, stream_cfg, table_capacity=stream_cap
+            )
+        )
+        single_s = timed_count(
+            lambda: _count_batch(
+                jax.device_put(pack_codes(reads)), k,
+                np.int32(reads.shape[0]), read_len=read_len,
+            )
+        )
+        stream_cmp = {
+            "stream_count_s": round(stream_s, 4),
+            "single_shot_with_transfer_s": round(single_s, 4),
+            "stream_vs_single_shot": round(stream_s / single_s, 3),
+        }
+    except Exception as e:
+        stream_cmp = {"stream_count_error": f"{type(e).__name__}: {e}"}
+
     # Reference-style Python dict counting rate on a subsample.
     base_windows = int(os.environ.get("GA_BENCH_BASELINE_WINDOWS", 200_000))
     wpr = read_len - k + 1
@@ -247,6 +294,7 @@ def main() -> int:
             "n50": stats["n50"],
             "exact_match": exact,
             **extract_cmp,
+            **stream_cmp,
         },
     }
     print(json.dumps(result))
