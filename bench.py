@@ -203,7 +203,8 @@ def main() -> int:
         return min(times)
 
     try:
-        stream_s = timed_count(
+        # distinct name from the stream-bandwidth pass's stream_s above
+        stream_count_s = timed_count(
             lambda: count_reads_device(
                 reads, stream_cfg, table_capacity=stream_cap
             )
@@ -215,9 +216,9 @@ def main() -> int:
             )
         )
         stream_cmp = {
-            "stream_count_s": round(stream_s, 4),
+            "stream_count_s": round(stream_count_s, 4),
             "single_shot_with_transfer_s": round(single_s, 4),
-            "stream_vs_single_shot": round(stream_s / single_s, 3),
+            "stream_vs_single_shot": round(stream_count_s / single_s, 3),
         }
     except Exception as e:
         stream_cmp = {"stream_count_error": f"{type(e).__name__}: {e}"}

@@ -212,6 +212,16 @@ def spell_device_arrays(dev, k: int, u_cap: int | None = None):
         cap = min(e, cap * 4)
 
     u = int(arrs.num_unitigs)
+    if u == 0:  # e.g. a coverage filter that dropped every k-mer
+        from .simplify_arrays import UnitigArrays
+
+        return UnitigArrays(
+            buf=np.empty(0, dtype=np.uint8),
+            off=np.zeros(1, dtype=np.int64),
+            edges=np.empty(0, dtype=np.int64),
+            cov_sum=np.empty(0, dtype=np.int64),
+            k=k,
+        )
     lengths = np.asarray(arrs.lengths)[:u].astype(np.int64)
     cov_sum = np.asarray(arrs.cov_sum)[:u].astype(np.int64)
     head_words = np.asarray(arrs.head_words)[:u]
@@ -250,14 +260,6 @@ def spell_device_unitigs(dev, k: int, u_cap: int | None = None) -> list[Unitig]:
     comparison surfaces; the pipeline feeds the arrays form straight into
     array-native simplification.
     """
-    ua = spell_device_arrays(dev, k, u_cap)
-    raw = _DECODE_LUT[ua.buf].tobytes()
-    return [
-        Unitig(
-            seq=raw[ua.off[i] : ua.off[i + 1]].decode(),
-            cov_sum=int(ua.cov_sum[i]),
-            edges=int(ua.edges[i]),
-            k=k,
-        )
-        for i in range(ua.num)
-    ]
+    from .simplify_arrays import to_unitig_list
+
+    return to_unitig_list(spell_device_arrays(dev, k, u_cap))

@@ -20,8 +20,12 @@ always qualifies in the same round).
 Bubble: >= 2 unitig arms sharing both endpoints (start node s, end node t),
 each at most ``bubble_len`` edges. Keep the arm with the highest coverage,
 tie-broken by smallest *canonical* sequence (canonical, not raw, so the
-choice agrees between a bubble and its reverse-complement twin bubble);
-delete the rest.
+choice agrees between a bubble and its reverse-complement twin bubble),
+then by smallest raw sequence (revcomp twin arms have EQUAL canonicals;
+the raw comparison keeps the rule a pure function of the arm set, never
+of the order unitigs happen to be listed in — the array-native mirror
+must reach identical decisions from a differently-ordered set); delete
+the rest.
 
 After each removal round, non-branching chains of surviving unitigs are
 merged (unitig-level recompression) and the passes repeat to fixpoint.
@@ -130,12 +134,13 @@ def _find_bubble_losers(g: UnitigGraph, bubble_len: int) -> list[int]:
 
 
 class _neg_canon:
-    """Order-reversing wrapper so max() prefers the *smallest* canonical seq."""
+    """Order-reversing wrapper so max() prefers the smallest (canonical,
+    raw) sequence pair — see the module docstring's bubble rule."""
 
     __slots__ = ("s",)
 
     def __init__(self, seq: str) -> None:
-        self.s = canonical_str(seq)
+        self.s = (canonical_str(seq), seq)
 
     def __lt__(self, other: "_neg_canon") -> bool:
         return self.s > other.s

@@ -24,7 +24,9 @@ Decision parity with the normative rules is exact, not approximate:
     compare identical doubles (the integer ``cov_sum`` refactor removed
     float accumulation order from merging);
   * the rare exact ties (bubble arms with equal coverage) fall back to
-    the same canonical-sequence rule, decoding only the tied arms;
+    the same (canonical, raw)-sequence rule, decoding only the tied arms
+    — a pure function of the arm set, so the two paths agree even though
+    they hold the unitigs in different orders after merges;
   * chain merging reproduces the host walk: unique-successor links,
     pointer doubling, pure cycles broken before their lexicographically
     smallest-sequence member (matching ``merge_chains``'s seq-ordered
@@ -96,12 +98,17 @@ def from_unitigs(unitigs: list[Unitig], k: int) -> UnitigArrays:
     )
 
 
-def to_unitig_graph(ua: UnitigArrays) -> UnitigGraph:
-    """Materialize strings (once, at the end) and build the UnitigGraph."""
+def to_unitig_list(ua: UnitigArrays) -> list[Unitig]:
+    """Decode columnar unitigs into Unitig objects (one bulk LUT pass).
+
+    The single decode surface — to_unitig_graph and both spell wrappers
+    (host.dbg.spell_device_unitigs, parallel.compress.spell_quads_host)
+    share it.
+    """
     from .dbg import _DECODE_LUT
 
     raw = _DECODE_LUT[ua.buf].tobytes()
-    unitigs = [
+    return [
         Unitig(
             seq=raw[ua.off[i] : ua.off[i + 1]].decode(),
             cov_sum=int(ua.cov_sum[i]),
@@ -110,7 +117,11 @@ def to_unitig_graph(ua: UnitigArrays) -> UnitigGraph:
         )
         for i in range(ua.num)
     ]
-    return build_unitig_graph(unitigs, ua.k)
+
+
+def to_unitig_graph(ua: UnitigArrays) -> UnitigGraph:
+    """Materialize strings (once, at the end) and build the UnitigGraph."""
+    return build_unitig_graph(to_unitig_list(ua), ua.k)
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +199,14 @@ def _segs_from_arrays(ua: UnitigArrays) -> _Segs:
 def _segs_to_arrays(sg: _Segs) -> UnitigArrays:
     """One O(total bases) gather materializes the surviving sequences."""
     k1 = sg.k - 1
+    if sg.num == 0:  # every unitig doomed (e.g. all tips of an X)
+        return UnitigArrays(
+            buf=np.empty(0, dtype=np.uint8),
+            off=np.zeros(1, dtype=np.int64),
+            edges=sg.edges,
+            cov_sum=sg.cov_sum,
+            k=sg.k,
+        )
     strlen = sg.edges + k1
     off = np.zeros(sg.num + 1, dtype=np.int64)
     np.cumsum(strlen, out=off[1:])
@@ -313,12 +332,16 @@ def _find_bubble_losers_arr(
     doomed[order[members_mask]] = True
     doomed[order[ends[~tied]]] = False  # unique-max winners
     for b, size in zip(b_multi[tied], sz_multi[tied]):
-        arms = np.sort(order[b : b + size])  # index order, as host builds
+        arms = order[b : b + size]
         cva = covf[arms]
         top = cva == cva.max()
         tied_arms = arms[top]
-        canon = [canonical_str(sg.seq(int(i))) for i in tied_arms]
-        keep = tied_arms[min(range(len(tied_arms)), key=lambda j: canon[j])]
+        # (canonical, raw) pair — identical to the normative _neg_canon
+        # rule and a pure function of the arm set, independent of the
+        # order this path happens to hold the unitigs in
+        seqs = [sg.seq(int(i)) for i in tied_arms]
+        keys = [(canonical_str(q), q) for q in seqs]
+        keep = tied_arms[min(range(len(tied_arms)), key=lambda j: keys[j])]
         doomed[keep] = False
     return doomed
 
@@ -352,7 +375,7 @@ def _find_islands_arr(
 # chain merging
 
 
-def _merge_chains_segs(sg: _Segs) -> _Segs:
+def _merge_chains_segs(sg: _Segs, sid=None, eid=None) -> _Segs:
     """Vectorized mirror of host.simplify.merge_chains on the segment view.
 
     Unique-successor links where a boundary node has in == out == 1,
@@ -363,12 +386,18 @@ def _merge_chains_segs(sg: _Segs) -> _Segs:
     slice: a first slice is an original never-trimmed head slice of
     length >= k, and trimmed slices become interior forever), and the
     chain inherits its head's start key and its last member's end key.
+
+    sid/eid: node ids for sg's rows, if the caller already has them (the
+    round loop computes them for its decisions; node keys are untouched
+    by removal, so the subset slices stay valid — skipping the second
+    per-round _node_ids lexsort, the dominant per-round sort).
     """
     u = sg.num
     if u == 0:
         return sg
     k1 = sg.k - 1
-    sid, eid = _node_ids(sg)
+    if sid is None or eid is None:
+        sid, eid = _node_ids(sg)
     nn = int(max(sid.max(), eid.max())) + 1
     out_n = np.bincount(sid, minlength=nn)
     in_n = np.bincount(eid, minlength=nn)
@@ -435,25 +464,27 @@ def _merge_chains_segs(sg: _Segs) -> _Segs:
         + np.arange(s_total, dtype=np.int64)
         - np.repeat(excl, cnt_o)
     )
-    uoff = np.zeros(nchains + 1, dtype=np.int64)
-    np.cumsum(
-        np.bincount(chain, weights=cnt, minlength=nchains).astype(np.int64),
-        out=uoff[1:],
-    )
-    head_ids = np.nonzero(heads)[0]  # ascending == chain id order
+    # per-chain sums via cumsum-diff over the (chain, dist)-sorted order:
+    # exact int64 (bincount's float64 weight accumulation would round
+    # above 2^53, breaking integer-coverage parity at extreme scale)
     chain_sizes = np.bincount(chain, minlength=nchains)
-    last_members = order[np.cumsum(chain_sizes) - 1]
+    bnd = np.cumsum(chain_sizes)  # end-exclusive member index per chain
+
+    def chain_sum(vals: np.ndarray) -> np.ndarray:
+        cs = np.concatenate([[0], np.cumsum(vals[order])])
+        return cs[bnd] - cs[bnd - chain_sizes]
+
+    uoff = np.zeros(nchains + 1, dtype=np.int64)
+    np.cumsum(chain_sum(cnt), out=uoff[1:])
+    head_ids = np.nonzero(heads)[0]  # ascending == chain id order
+    last_members = order[bnd - 1]
     return _Segs(
         buf=sg.buf,
         seg_src=seg_src[seg_take],
         seg_len=seg_len[seg_take],
         uoff=uoff,
-        edges=np.bincount(chain, weights=sg.edges, minlength=nchains).astype(
-            np.int64
-        ),
-        cov_sum=np.bincount(
-            chain, weights=sg.cov_sum, minlength=nchains
-        ).astype(np.int64),
+        edges=chain_sum(sg.edges),
+        cov_sum=chain_sum(sg.cov_sum),
         sk=sg.sk[head_ids],
         ek=sg.ek[last_members],
         k=sg.k,
@@ -491,7 +522,8 @@ def simplify_arrays(
             )
         if not doomed.any():
             break
-        sg = _merge_chains_segs(_take(sg, ~doomed))
+        keep = ~doomed
+        sg = _merge_chains_segs(_take(sg, keep), sid[keep], eid[keep])
     return _segs_to_arrays(sg)
 
 

@@ -39,23 +39,9 @@ import os
 SINGLE_SHOT_WINDOWS = int(os.environ.get("GA_SINGLE_SHOT_WINDOWS", 1 << 27))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas", "out_cap", "read_len")
-)
-def _count_batch(
-    reads, k, n_valid, use_pallas=False, out_cap=None, read_len=None,
-    inv_mask=None,
-):
-    """One dispatch: extract + canonicalize + sort-count a read batch.
-
-    Fusing the stages into a single jit call matters doubly here: XLA fuses
-    the extraction elementwise graph into the sort's input, and the slow
-    per-dispatch link to the device (tens of ms on the tunneled `axon`
-    platform) is paid once per batch instead of once per stage.
-
-    out_cap truncates the (compact-front) result table so streaming merges
-    move table-capacity rows instead of window-count rows; truncation
-    overflow is flagged, not silent.
+def _extract_keys(reads, k, n_valid, use_pallas, read_len, inv_mask):
+    """Shared extraction preamble of _count_batch and _stream_step: unpack
+    2-bit codes and ambiguity bits, then run the selected kernel.
 
     read_len set means ``reads`` arrived 2-bit packed (utils.dna.pack_codes)
     — a 4x smaller host->device transfer, unpacked here in one VPU pass.
@@ -80,6 +66,28 @@ def _count_batch(
         keys, _ = extract_canonical_flat_pallas(reads, k, n_valid, bad=bad)
     else:
         keys, _ = extract_canonical_flat(reads, k, n_valid, bad)
+    return keys
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "use_pallas", "out_cap", "read_len")
+)
+def _count_batch(
+    reads, k, n_valid, use_pallas=False, out_cap=None, read_len=None,
+    inv_mask=None,
+):
+    """One dispatch: extract + canonicalize + sort-count a read batch.
+
+    Fusing the stages into a single jit call matters doubly here: XLA fuses
+    the extraction elementwise graph into the sort's input, and the slow
+    per-dispatch link to the device (tens of ms on the tunneled `axon`
+    platform) is paid once per batch instead of once per stage.
+
+    out_cap truncates the (compact-front) result table so streaming merges
+    move table-capacity rows instead of window-count rows; truncation
+    overflow is flagged, not silent. read_len/inv_mask: see _extract_keys.
+    """
+    keys = _extract_keys(reads, k, n_valid, use_pallas, read_len, inv_mask)
     table = count_jax.count_keys(keys)
     if out_cap is not None and out_cap < table.words.shape[0]:
         table = count_jax.CountTable(
@@ -110,21 +118,7 @@ def _stream_step(
     dispatch (donating the old table's buffers). Skipping the per-batch
     sort-count halves the sorted rows per streamed batch
     (count_jax.merge_raw_keys)."""
-    bad = None
-    if inv_mask is not None:
-        from ..ops.kmer_jax import unpack_invalid_mask
-
-        bad = unpack_invalid_mask(inv_mask, read_len or reads.shape[1])
-    if read_len is not None:
-        from ..ops.kmer_jax import unpack_codes
-
-        reads = unpack_codes(reads, read_len)
-    if use_pallas:
-        from ..ops.kmer_pallas import extract_canonical_flat_pallas
-
-        keys, _ = extract_canonical_flat_pallas(reads, k, n_valid, bad=bad)
-    else:
-        keys, _ = extract_canonical_flat(reads, k, n_valid, bad)
+    keys = _extract_keys(reads, k, n_valid, use_pallas, read_len, inv_mask)
     return count_jax.merge_raw_keys(table, keys)
 
 

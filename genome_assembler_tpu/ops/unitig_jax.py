@@ -224,14 +224,14 @@ def join_scan(key_s: jax.Array, is_pre: jax.Array, pay_s: jax.Array):
 
 def _steps_for(e: int) -> int:
     # dist doubles to exactly 2^steps in cycles; both it and the 1<<steps
-    # threshold must fit int32, which bounds the edge table at 2^30 rows
-    # (~12 GB of key words alone — beyond single-chip HBM anyway). The
-    # sharded-graph path (parallel/compress.py) has the same per-global-id
-    # guard; this keeps the overflow a clear error, never a silent wrap.
-    if e >= (1 << 30):
+    # threshold must fit int32. steps = ceil(log2(e)) + 1 <= 30 requires
+    # e <= 2^29 (~6 GB of key words alone — beyond single-chip HBM
+    # anyway); the sharded-graph path guards its global ids at the same
+    # bound (parallel/compress.py). A clear error, never a silent wrap.
+    if e > (1 << 29):
         raise ValueError(
             f"edge table of {e} rows exceeds the int32 pointer-doubling "
-            "range (2^30); use the sharded graph path (--sharded-graph)"
+            "range (2^29); use the sharded graph path (--sharded-graph)"
         )
     return max(1, int(np.ceil(np.log2(max(e, 2)))) + 1)
 

@@ -385,14 +385,25 @@ def spell_quads_arrays(
     words = to_host(edge_words)[valid]
     u = int(num_unitigs)
     w = words.shape[1]
+    if u == 0:  # e.g. a coverage filter that dropped every k-mer
+        return UnitigArrays(
+            buf=np.empty(0, dtype=np.uint8),
+            off=np.zeros(1, dtype=np.int64),
+            edges=np.empty(0, dtype=np.int64),
+            cov_sum=np.empty(0, dtype=np.int64),
+            k=k,
+        )
 
     order = np.lexsort((pos, uid))
     uid_o = uid[order]
     base_o = base[order]
     lengths = np.bincount(uid_o, minlength=u).astype(np.int64)
-    # weights must stay aligned with their uids — sum over the UNSORTED
-    # pair (bincount pairs weights[i] with uid[i])
-    cov_sum = np.bincount(uid, weights=cov.astype(np.float64), minlength=u)
+    # exact int64 per-unitig coverage sums via cumsum-diff over the
+    # uid-sorted order (bincount's float64 weight accumulation would
+    # round above 2^53, breaking integer-coverage parity)
+    bnd = np.cumsum(lengths)
+    cov_cs = np.concatenate([[0], np.cumsum(cov[order].astype(np.int64))])
+    cov_sum = cov_cs[bnd] - cov_cs[bnd - lengths]
     head_words = np.zeros((u, w), dtype=np.uint32)
     head_words[uid[heads]] = words[heads]
 
@@ -418,7 +429,7 @@ def spell_quads_arrays(
         buf=buf,
         off=offsets,
         edges=lengths,
-        cov_sum=cov_sum.astype(np.int64),
+        cov_sum=cov_sum,
         k=k,
     )
 
@@ -428,18 +439,10 @@ def spell_quads_host(
 ):
     """String-form spelling (debug/comparison surface): decode the
     columnar spell into host Unitig objects."""
-    from ..host.dbg import Unitig, _DECODE_LUT
+    from ..host.simplify_arrays import to_unitig_list
 
-    ua = spell_quads_arrays(
-        valid, uid, pos, cov, last_base, heads, edge_words, num_unitigs, k
-    )
-    raw = _DECODE_LUT[ua.buf].tobytes()
-    return [
-        Unitig(
-            seq=raw[ua.off[i] : ua.off[i + 1]].decode(),
-            cov_sum=int(ua.cov_sum[i]),
-            edges=int(ua.edges[i]),
-            k=k,
+    return to_unitig_list(
+        spell_quads_arrays(
+            valid, uid, pos, cov, last_base, heads, edge_words, num_unitigs, k
         )
-        for i in range(ua.num)
-    ]
+    )

@@ -147,3 +147,75 @@ def test_parity_random_branchy(data):
         reads[i] = "".join(r)
     unitigs = _unitigs_from_reads(reads, k)
     _assert_parity(unitigs, k, 2 * k, 2 * k, min_count=1)
+
+
+def test_parity_empty_input():
+    _assert_parity([], 15, 30, 30)
+
+
+def test_parity_all_unitigs_doomed():
+    """Four equal-coverage tips through one junction: every unitig dies in
+    one round. The array path must return an empty graph (it used to
+    crash in the final materialization), matching the normative path."""
+    from genome_assembler_tpu.host.dbg import Unitig
+
+    k = 5
+
+    def u(seq, cov=2):
+        edges = len(seq) - k + 1
+        return Unitig(seq=seq, cov_sum=cov * edges, edges=edges, k=k)
+
+    unitigs = [
+        u("AAAAACGT"),  # ends at node ACGT (start dead)
+        u("CCCCACGT"),  # ends at node ACGT (start dead)
+        u("ACGTGGGG"),  # starts at node ACGT (end dead)
+        u("ACGTTCTC"),  # starts at node ACGT (end dead)
+    ]
+    _assert_parity(unitigs, k, 2 * k, 2 * k)
+
+
+def test_parity_bubble_revcomp_twin_tie_after_merge():
+    """Bubble arms that are revcomp twins tie on coverage AND canonical
+    sequence; the final raw-sequence tie-break must pick the same arm on
+    both paths even after earlier rounds reorder the array path's unitigs
+    (a tip removal + chain merge precedes the bubble round here)."""
+    from genome_assembler_tpu.host.dbg import Unitig
+
+    k = 5
+
+    def u(seq, cov):
+        edges = len(seq) - k + 1
+        return Unitig(seq=seq, cov_sum=cov * edges, edges=edges, k=k)
+
+    unitigs = [
+        u("ACGTTACGT", 2),  # arm B: ACGT -> ACGT, canonical == arm A's
+        u("ACGTAACGT", 2),  # arm A: revcomp of B through palindromic node
+        u("GGGGCCCC", 5),  # C: ends at CCCC; tip T's higher-cov sibling
+        u("TTTTCCCC", 1),  # T: tip, removed round 1
+        u("CCCCAAAA", 5),  # C2: merges with C after T dies
+    ]
+    _assert_parity(unitigs, k, 2 * k, 2 * k)
+
+
+def test_doubling_guard_rejects_oversized_tables():
+    import pytest
+
+    from genome_assembler_tpu.ops.unitig_jax import _steps_for
+
+    assert _steps_for(1 << 29) == 30
+    with pytest.raises(ValueError, match="sharded"):
+        _steps_for((1 << 29) + 1)
+
+
+def test_assemble_zero_survivors_yields_no_contigs():
+    """A min_count above every multiplicity must yield zero contigs, not
+    a crash, on the device pipeline (empty spell + empty simplify)."""
+    from genome_assembler_tpu.models.pipeline import assemble_tpu
+    from genome_assembler_tpu.utils.config import AssemblyConfig
+    from genome_assembler_tpu.utils.dna import encode_seq
+
+    k = 15
+    genome = decode_seq(simulate_genome(200, seed=5))
+    reads = np.stack([encode_seq(r) for r in _windows(genome, 60)])
+    cfg = AssemblyConfig(k=k, read_len=60, min_count=1000)
+    assert assemble_tpu(reads, cfg) == []
