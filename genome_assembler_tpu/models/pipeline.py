@@ -106,20 +106,46 @@ def _merge_step(table, batch_table):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "use_pallas", "read_len"),
+    static_argnames=("k", "use_pallas", "read_len", "merge_raw", "out_cap"),
     donate_argnums=(0,),
 )
 def _stream_step(
     table, reads, k, n_valid, use_pallas=False, read_len=None,
-    inv_mask=None,
+    inv_mask=None, merge_raw=True, out_cap=None,
 ):
-    """Fused streaming step: extract one batch's raw canonical key stream
-    and weighted-merge it straight into the running table in a single
-    dispatch (donating the old table's buffers). Skipping the per-batch
-    sort-count halves the sorted rows per streamed batch
-    (count_jax.merge_raw_keys)."""
+    """Fused streaming step: one dispatch counts a batch into the running
+    table (donating the old table's buffers), in one of two formulations:
+
+    merge_raw=True: the raw canonical key stream weighted-merges straight
+    into the table (count_jax.merge_raw_keys) — fewer total sorted rows,
+    but the *weighted* segment reduce (reversed-cummin scan + count
+    gather + compaction, the expensive reduce variant) runs over all
+    cap + batch_windows rows.
+    merge_raw=False: sort-count the batch first (the cheap unweighted
+    reduce — run lengths ride the compaction sort, no scan/gather),
+    truncate to out_cap, then merge two counted tables, paying the
+    weighted reduce only over 2 * cap rows.
+
+    The caller picks merge_raw iff batch_windows < capacity — exactly
+    when cap + batch < 2 * cap keeps the weighted reduce smaller than
+    the count-then-merge one. Measured at CFG-2 shapes (11.6M cap,
+    18.35M batch, batch > cap): 1.46 s merge_raw vs 0.83 s
+    count-then-merge per batch; the sort itself is linear in rows on
+    this device (tools/microbench.py), the weighted reduce is what
+    scales badly with the concatenated size.
+    """
     keys = _extract_keys(reads, k, n_valid, use_pallas, read_len, inv_mask)
-    return count_jax.merge_raw_keys(table, keys)
+    if merge_raw:
+        return count_jax.merge_raw_keys(table, keys)
+    batch = count_jax.count_keys(keys)
+    if out_cap is not None and out_cap < batch.words.shape[0]:
+        batch = count_jax.CountTable(
+            words=batch.words[:out_cap],
+            counts=batch.counts[:out_cap],
+            num_unique=jnp.minimum(batch.num_unique, out_cap),
+            overflow=batch.overflow | (batch.num_unique > out_cap),
+        )
+    return count_jax.merge_tables(table, batch)
 
 
 def count_reads_device(
@@ -209,6 +235,8 @@ def count_reads_device(
         table = _stream_step(
             table, chunk_dev, cfg.k, n_valid, use_pallas,
             read_len=length, inv_mask=bm_dev,
+            merge_raw=batch * wpr < capacity,
+            out_cap=capacity,
         )
     return table
 

@@ -191,13 +191,17 @@ def merge_tables(table: CountTable, batch: CountTable) -> CountTable:
 def merge_raw_keys(table: CountTable, keys: jax.Array) -> CountTable:
     """Merge a raw (unsorted, uncounted) key stream into the running table.
 
-    The streaming fast path: instead of sort-counting the batch first and
-    then merging the two counted tables (four sorts over ~2x the rows),
-    the raw [N, W] extraction stream rides one weighted sort next to the
-    table rows — table lanes weigh their counts, stream lanes weigh 1,
-    sentinel (invalid-window) lanes are excluded by the segment reduce.
-    Bit-identical to count_keys + merge_tables (tested); ~2x fewer sorted
-    rows per streamed batch.
+    Instead of sort-counting the batch first and then merging the two
+    counted tables, the raw [N, W] extraction stream rides one weighted
+    sort next to the table rows — table lanes weigh their counts, stream
+    lanes weigh 1, sentinel (invalid-window) lanes are excluded by the
+    segment reduce. Bit-identical to count_keys + merge_tables (tested).
+
+    Fewer total sorted rows, but the expensive *weighted* reduce
+    (reversed-cummin + gather) spans all C + N rows, vs 2C for the
+    count-then-merge formulation — so this wins only while N < C
+    (models.pipeline._stream_step picks per batch; measured 1.8x SLOWER
+    at N = 18.35M > C = 11.6M).
     """
     cap = table.words.shape[0]
     words = jnp.concatenate([table.words, keys], axis=0)

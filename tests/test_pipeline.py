@@ -46,6 +46,35 @@ def test_streaming_counts_equal_single_shot():
     assert single == streamed
 
 
+def test_stream_step_formulations_identical():
+    """merge_raw and count-then-merge streaming steps are bit-identical
+    (the caller picks by the measured sort-size cliff, so both run in
+    production depending on scale)."""
+    import numpy as np
+
+    from genome_assembler_tpu.models.pipeline import _stream_step
+    from genome_assembler_tpu.ops import count_jax
+    from genome_assembler_tpu.utils.dna import key_words, pack_codes
+
+    rs = _readset(400, seed=23)
+    cfg = AssemblyConfig(k=21, read_len=rs.read_len)
+    packed = pack_codes(rs.codes)
+    cap = 1 << 16
+    tables = []
+    for merge_raw in (True, False):
+        t = count_jax.empty_table(cap, key_words(cfg.k))
+        t = _stream_step(
+            t, packed, cfg.k, np.int32(rs.num_reads),
+            read_len=rs.read_len, merge_raw=merge_raw, out_cap=cap,
+        )
+        tables.append(t)
+    a, b = tables
+    np.testing.assert_array_equal(np.asarray(a.words), np.asarray(b.words))
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert int(a.num_unique) == int(b.num_unique)
+    assert bool(a.overflow) == bool(b.overflow)
+
+
 def test_assemble_tpu_equals_oracle_error_free():
     """CFG 0 shape: device pipeline == oracle == genome."""
     genome = simulate_genome(4000, seed=23)

@@ -102,6 +102,43 @@ def main() -> int:
     # --- memcpy reference (streaming bandwidth)
     bench("copy_elementwise", lambda x: x + jnp.uint32(1), a)
 
+    # --- sort cost vs row count (GA_MB_SIZES=16,24,33 in millions):
+    # measured LINEAR (~5 ns/row for 2key+1payload up to 33M, r2) — no
+    # size cliff; what scales badly in streaming merges is the weighted
+    # segment reduce, not the sort (models/pipeline._stream_step).
+    sizes = os.environ.get("GA_MB_SIZES")
+    if sizes:
+        for n_m in (int(s) for s in sizes.split(",")):
+            m = n_m * 1_000_000
+            cols = [
+                jnp.asarray(
+                    rng.integers(0, 2**32, m, dtype=np.uint64).astype(
+                        np.uint32
+                    )
+                )
+                for _ in range(3)
+            ]
+            f = jax.jit(
+                lambda x, y, z: jax.lax.sort((x, y, z), num_keys=2)[0]
+            )
+            sync(f(*cols)[:1])
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sync(f(*cols)[:1])
+                ts.append(time.perf_counter() - t0)
+            results[f"sort_2key1pay_{n_m}M"] = min(ts)
+            print(
+                json.dumps(
+                    {
+                        "case": f"sort_2key1pay_{n_m}M",
+                        "n": m,
+                        "best_s": round(min(ts), 4),
+                        "ns_per_row": round(min(ts) / m * 1e9, 2),
+                    }
+                )
+            )
+
     path = os.path.join(os.path.dirname(__file__), "microbench_results.json")
     with open(path, "w") as fh:
         json.dump({"n": n, "results": results}, fh, indent=2)
