@@ -116,23 +116,21 @@ def _stream_step(
     """Fused streaming step: one dispatch counts a batch into the running
     table (donating the old table's buffers), in one of two formulations:
 
-    merge_raw=True: the raw canonical key stream weighted-merges straight
-    into the table (count_jax.merge_raw_keys) — fewer total sorted rows,
-    but the *weighted* segment reduce (reversed-cummin scan + count
-    gather + compaction, the expensive reduce variant) runs over all
-    cap + batch_windows rows.
-    merge_raw=False: sort-count the batch first (the cheap unweighted
-    reduce — run lengths ride the compaction sort, no scan/gather),
-    truncate to out_cap, then merge two counted tables, paying the
-    weighted reduce only over 2 * cap rows.
+    merge_raw=True (default): the raw canonical key stream
+    weighted-merges straight into the table (count_jax.merge_raw_keys) —
+    one weighted sort + reduce over cap + batch_windows rows.
+    merge_raw=False: sort-count the batch first, truncate to out_cap,
+    then merge two counted tables — 2*batch + 4*cap reduced rows, kept
+    as a tested fallback formulation.
 
-    The caller picks merge_raw iff batch_windows < capacity — exactly
-    when cap + batch < 2 * cap keeps the weighted reduce smaller than
-    the count-then-merge one. Measured at CFG-2 shapes (11.6M cap,
-    18.35M batch, batch > cap): 1.46 s merge_raw vs 0.83 s
-    count-then-merge per batch; the sort itself is linear in rows on
-    this device (tools/microbench.py), the weighted reduce is what
-    scales badly with the concatenated size.
+    With the neighbor-diff weighted segment reduce (exclusive weight
+    cumsum carried through the compaction sort — no reversed-cummin
+    scan, no boundary gather), merge_raw always touches fewer rows and
+    measures faster at every scale: 0.365 s vs 0.446 s per batch at
+    CFG-2 shapes (11.6M cap + 18.35M batch; the PRE-rewrite weighted
+    reduce made the same comparison 1.46 s vs 0.83 s — the reduce, not
+    the sort, was what scaled badly; sorts are linear at ~5 ns/row to
+    33M, tools/microbench.py).
     """
     keys = _extract_keys(reads, k, n_valid, use_pallas, read_len, inv_mask)
     if merge_raw:
@@ -235,7 +233,7 @@ def count_reads_device(
         table = _stream_step(
             table, chunk_dev, cfg.k, n_valid, use_pallas,
             read_len=length, inv_mask=bm_dev,
-            merge_raw=batch * wpr < capacity,
+            merge_raw=True,
             out_cap=capacity,
         )
     return table

@@ -331,30 +331,35 @@ def spell_arrays(dev: DeviceUnitigs, u_cap: int) -> SpellArrays:
 
     idx = jnp.arange(e, dtype=jnp.int32)
     prev_uid = jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, jnp.uint32), uid_s[:-1]])
-    is_start = (uid_s != prev_uid).at[0].set(True) & (uid_s != jnp.uint32(2**30))
-    start_or_inf = jnp.where(is_start | (uid_s == jnp.uint32(2**30)), idx, e)
-    next_start = jnp.concatenate(
-        [jnp.flip(jax.lax.cummin(jnp.flip(start_or_inf)))[1:],
-         jnp.full((1,), e, jnp.int32)]
-    )
-    lengths = jnp.where(is_start, next_start - idx, 0)
-    cs = jnp.cumsum(cov_s)
-    cov_sum = jnp.where(
-        is_start,
-        cs[jnp.clip(next_start - 1, 0, e - 1)] - cs[idx] + cov_s,
-        0,
-    )
+    run_start = (uid_s != prev_uid).at[0].set(True)
+    valid_lane = uid_s != jnp.uint32(2**30)
+    is_start = run_start & valid_lane
     num = jnp.sum(is_start.astype(jnp.int32))
+    e_valid = jnp.sum(valid_lane.astype(jnp.int32))
+    # lengths and coverage sums by neighbor-diff of (position, exclusive
+    # cov cumsum) carried through the compaction sort — no reversed-cummin
+    # scan, no boundary gather (same trick as count_jax._segment_reduce);
+    # keeping the invalid run's first row puts the valid totals right
+    # after the last real unitig's row
+    excl_cov = jnp.cumsum(cov_s) - cov_s
+    total_cov = jnp.sum(jnp.where(valid_lane, cov_s, 0))
 
     # compact per-unitig rows (at start lanes, already in uid order) to the
-    # front: sort by the tiny is_start key, stable in uid order
+    # front: sort by the tiny run_start key, stable in uid order
     sort2 = jax.lax.sort(
-        ((~is_start).astype(jnp.uint32), uid_s, lengths, cov_sum)
+        ((~run_start).astype(jnp.uint32), uid_s, idx, excl_cov)
         + tuple(words_s[:, i] for i in range(w)),
         num_keys=2,
     )
-    lengths_c = sort2[2][:u_cap]
-    cov_sum_c = sort2[3][:u_cap]
+    pos_c = sort2[2][:u_cap]
+    excl_c = sort2[3][:u_cap]
+    out_idx = jnp.arange(u_cap, dtype=jnp.int32)
+    nxt_pos = jnp.concatenate([pos_c[1:], jnp.zeros(1, jnp.int32)])
+    nxt_pos = jnp.where(out_idx == num - 1, e_valid, nxt_pos)
+    nxt_cov = jnp.concatenate([excl_c[1:], jnp.zeros(1, excl_c.dtype)])
+    nxt_cov = jnp.where(out_idx == num - 1, total_cov, nxt_cov)
+    lengths_c = jnp.where(out_idx < num, nxt_pos - pos_c, 0)
+    cov_sum_c = jnp.where(out_idx < num, nxt_cov - excl_c, 0)
     head_words = jnp.stack([sort2[4 + i][:u_cap] for i in range(w)], axis=1)
     return SpellArrays(
         bases=bases,
