@@ -72,6 +72,15 @@ def _doubling(prev: jax.Array, steps: int, track: str = "dist"):
     measured 1.7x faster than two separate gathers on this platform
     (tools/microbench.py double_packed_rows vs double_2gather), and the
     gather loop dominates compression wall-clock.
+
+    The loop exits early once the state stops changing — rounds needed
+    are ceil(log2(longest chain)), not ceil(log2(E)), so graphs whose
+    unitigs are short (post-filter real data) finish in a handful of
+    gather rounds. Cycle semantics are preserved exactly: in a pure
+    cycle the dist column doubles forever (so a cyclic graph runs all
+    `steps` rounds and trips the 2^steps detector in _rank_pass), and
+    in min-tracking the state can only stabilize after the minimum has
+    propagated around the whole cycle.
     Returns (ancestor, tracked).
     """
     n = prev.shape[0]
@@ -80,23 +89,43 @@ def _doubling(prev: jax.Array, steps: int, track: str = "dist"):
     if track == "dist":
         aux = (prev >= 0).astype(jnp.int32)
 
-        def body(_, state):
+        def step(state):
             g = state[state[:, 0]]
-            return jnp.stack(
-                [g[:, 0], state[:, 1] + g[:, 1]], axis=1
-            )
+            new = jnp.stack([g[:, 0], state[:, 1] + g[:, 1]], axis=1)
+            # exact convergence test, fused with the round: dist lanes
+            # start at 1 except heads (0), so g_dist == 0 everywhere
+            # means every ancestor is a head — new == state now and at
+            # every later round. Cycles keep g_dist > 0 forever, so a
+            # cyclic graph runs all `steps` rounds and the 2^steps
+            # detector in _rank_pass still fires.
+            return new, jnp.any(g[:, 1] != 0)
 
     else:
         aux = jnp.minimum(ids, anc)
 
-        def body(_, state):
+        def step(state):
             g = state[state[:, 0]]
-            return jnp.stack(
+            new = jnp.stack(
                 [g[:, 0], jnp.minimum(state[:, 1], g[:, 1])], axis=1
             )
+            # the update is a pure function of state, so one stable
+            # round is a fixpoint forever (this pass runs only on the
+            # rare cyclic graphs, where the extra full compare is noise)
+            return new, jnp.any(new != state)
 
-    state = jax.lax.fori_loop(
-        0, steps, body, jnp.stack([anc, aux], axis=1)
+    def cond(carry):
+        i, _, changed = carry
+        return (i < steps) & changed
+
+    def body(carry):
+        i, state, _ = carry
+        new, changed = step(state)
+        return i + 1, new, changed
+
+    _, state, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.int32(0), jnp.stack([anc, aux], axis=1), jnp.bool_(True)),
     )
     return state[:, 0], state[:, 1]
 

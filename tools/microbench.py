@@ -84,6 +84,24 @@ def main() -> int:
         return jnp.stack([g[:, 0], s[:, 1] + g[:, 1]], axis=1)
     bench("double_packed_rows", packed_round, st)
 
+    # --- int64-packed doubling round: (anc, aux) in one [N] int64 column
+    # vs the [N,2] int32 row stack — same bytes gathered, different layout
+    # (x64 scoped to these cases only; the pipeline default stays 32-bit)
+    from jax.experimental import enable_x64
+
+    with enable_x64():
+        v64 = jnp.asarray(
+            (idx.astype(np.int64) << np.int64(32)) | np.int64(1)
+        )
+        bench("gather_rand_1col_i64", lambda x, i: x[i], v64, idx)
+
+        def packed64_round(s):
+            lo = np.int64(0xFFFFFFFF)
+            g = s[(s >> np.int64(32)).astype(jnp.int32)]
+            return (g & ~lo) | ((s & lo) + (g & lo))
+
+        bench("double_packed_i64", packed64_round, v64)
+
     # --- scatter with unique indices (permutation inversion)
     perm = jnp.asarray(rng.permutation(n).astype(np.int32))
     ids = jnp.arange(n, dtype=jnp.int32)
