@@ -235,12 +235,24 @@ def spell_device_arrays(dev, k: int, u_cap: int | None = None):
 
     # bodies: the sorted base stream is the concatenation of unitig bodies
     body_excl = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-    dest = (
-        np.repeat(offsets[:-1] + (k - 1), lengths)
-        + np.arange(total_body, dtype=np.int64)
-        - np.repeat(body_excl, lengths)
-    )
-    buf[dest] = bases
+    body_start = offsets[:-1] + (k - 1)
+    if u <= 8192:
+        # few (usually long) unitigs: plain slice copies — measured 10x+
+        # over materializing a fancy index the size of the genome
+        # (tools/profile_spell.py: 1.49 s -> ~0.1 s at CFG-2 scale)
+        for i in range(u):
+            s = int(body_excl[i])
+            ln = int(lengths[i])
+            d = int(body_start[i])
+            buf[d : d + ln] = bases[s : s + ln]
+    else:
+        # many short unitigs: one int32 fancy scatter (buf is < 2^31
+        # bytes by the edge-table bound, so 32-bit indices always fit
+        # and halve the index-build traffic vs int64)
+        dest = np.repeat(
+            (body_start - body_excl).astype(np.int32), lengths
+        ) + np.arange(total_body, dtype=np.int32)
+        buf[dest] = bases
     # heads: first k-1 bases decoded from each unitig's head edge k-mer
     head_off = offsets[:-1]
     for j in range(k - 1):

@@ -213,41 +213,39 @@ def join_scan(key_s: jax.Array, is_pre: jax.Array, pay_s: jax.Array):
     suffix entries within each key run, plus each entry's edge-id payload.
     Output per lane: good (this suffix lane's node has outdeg == indeg
     == 1 and a prefix entry leads the run) and succ (the run-leading
-    prefix entry's edge id). Used verbatim by the single-device linker
-    above and the sharded linker (parallel.compress) so the join
-    semantics cannot diverge.
+    prefix entry's edge id; arbitrary where ~good). Used verbatim by the
+    single-device linker above and the sharded linker (parallel.compress)
+    so the join semantics cannot diverge.
+
+    ``outdeg == 1 and indeg == 1`` means the key run holds EXACTLY two
+    entries — one prefix, one suffix, in that order (the tag is a sort
+    key) — so every run-leader value a good lane needs sits exactly one
+    lane above it. Everything reduces to shift-compares: no prefix
+    scans, no random gathers (the r2.0 formulation spent three
+    full-table gathers plus cummax/reversed-cummin/cumsum passes here,
+    measured ~1s of the CFG-2 link stage).
     """
     n2, w = key_s.shape
-    pos = jnp.arange(n2, dtype=jnp.int32)
     prev_key = jnp.concatenate(
         [jnp.full((1, w), SENTINEL, jnp.uint32), key_s[:-1]], axis=0
     )
-    new_key = jnp.any(key_s != prev_key, axis=1).at[0].set(True)
-    run_start = jax.lax.cummax(jnp.where(new_key, pos, -1))
-    start_or_inf = jnp.where(new_key, pos, n2)
-    run_end = jnp.concatenate(
-        [jnp.flip(jax.lax.cummin(jnp.flip(start_or_inf)))[1:],
-         jnp.full((1,), n2, jnp.int32)]
-    )
-    pre_cum = jnp.cumsum(is_pre.astype(jnp.int32))  # inclusive
-    pre_before_run = jnp.where(
-        run_start > 0, pre_cum[jnp.clip(run_start - 1, 0, n2 - 1)], 0
-    )
-    # at a suffix lane every prefix entry of the run is at or before it
-    outdeg = pre_cum - pre_before_run
-    indeg = (run_end - run_start) - outdeg
-    succ = pay_s[run_start]
-    first_is_pre = is_pre[run_start]
+    same_as_prev = jnp.all(key_s == prev_key, axis=1).at[0].set(False)
+    same_as_next = jnp.concatenate([same_as_prev[1:], jnp.zeros(1, bool)])
+    pre_above = jnp.concatenate([jnp.zeros(1, bool), is_pre[:-1]])
     sentinel_run = key_s[:, 0] == SENTINEL
     for i in range(1, w):
         sentinel_run &= key_s[:, i] == SENTINEL
+    # run of exactly [prefix, suffix]: this suffix lane continues its
+    # predecessor's run, the run ends here, and the lane above leads it
     good = (
         ~is_pre
-        & first_is_pre
-        & (outdeg == 1)
-        & (indeg == 1)
+        & pre_above
+        & same_as_prev
+        & ~same_as_next
+        & ~jnp.concatenate([jnp.ones(1, bool), same_as_prev[:-1]])
         & ~sentinel_run
     )
+    succ = jnp.concatenate([jnp.zeros(1, pay_s.dtype), pay_s[:-1]])
     return good, succ
 
 

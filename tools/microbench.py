@@ -25,6 +25,10 @@ def main() -> int:
     from genome_assembler_tpu.utils.jaxenv import setup, sync
 
     setup()
+    if os.environ.get("GA_MB_X64") == "1":
+        import jax as _jax
+
+        _jax.config.update("jax_enable_x64", True)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -85,11 +89,11 @@ def main() -> int:
     bench("double_packed_rows", packed_round, st)
 
     # --- int64-packed doubling round: (anc, aux) in one [N] int64 column
-    # vs the [N,2] int32 row stack — same bytes gathered, different layout
-    # (x64 scoped to these cases only; the pipeline default stays 32-bit)
-    from jax.experimental import enable_x64
-
-    with enable_x64():
+    # vs the [N,2] int32 row stack — same bytes gathered, different
+    # layout. JAX 0.9 has no scoped x64 context, so these cases need the
+    # global flag: rerun with GA_MB_X64=1 (set before jax import at the
+    # top of main) to include them.
+    if os.environ.get("GA_MB_X64") == "1":
         v64 = jnp.asarray(
             (idx.astype(np.int64) << np.int64(32)) | np.int64(1)
         )
