@@ -211,12 +211,24 @@ def _segs_to_arrays(sg: _Segs) -> UnitigArrays:
     off = np.zeros(sg.num + 1, dtype=np.int64)
     np.cumsum(strlen, out=off[1:])
     total = int(off[-1])
+    nseg = len(sg.seg_src)
+    if nseg <= 8192:
+        # few (usually long) slices: plain copies — no genome-sized
+        # index array (measured ~7s -> ~10ms at CFG-2 scale)
+        buf = np.empty(total, dtype=np.uint8)
+        dst = 0
+        for s, ln in zip(sg.seg_src, sg.seg_len):
+            buf[dst : dst + ln] = sg.buf[s : s + ln]
+            dst += ln
+        return UnitigArrays(
+            buf=buf, off=off, edges=sg.edges, cov_sum=sg.cov_sum, k=sg.k
+        )
+    # many short slices: one fancy gather with int32 indices (the buffer
+    # is < 2^31 bytes by the edge-table bound, so they always fit)
     excl = np.concatenate([[0], np.cumsum(sg.seg_len)[:-1]])
-    src = (
-        np.repeat(sg.seg_src, sg.seg_len)
-        + np.arange(total, dtype=np.int64)
-        - np.repeat(excl, sg.seg_len)
-    )
+    src = np.repeat(
+        (sg.seg_src - excl).astype(np.int32), sg.seg_len
+    ) + np.arange(total, dtype=np.int32)
     return UnitigArrays(
         buf=sg.buf[src], off=off, edges=sg.edges, cov_sum=sg.cov_sum, k=sg.k
     )
@@ -505,6 +517,7 @@ def simplify_arrays(
     (property-tested).
     """
     sg = _segs_from_arrays(ua)
+    changed = False
     for _ in range(_MAX_ROUNDS):
         if sg.num == 0:
             break
@@ -522,8 +535,13 @@ def simplify_arrays(
             )
         if not doomed.any():
             break
+        changed = True
         keep = ~doomed
         sg = _merge_chains_segs(_take(sg, keep), sid[keep], eid[keep])
+    if not changed:
+        # clean graph (the common error-free case): every segment is the
+        # original one-slice-per-unitig view — skip rematerializing
+        return ua
     return _segs_to_arrays(sg)
 
 
