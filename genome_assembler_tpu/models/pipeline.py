@@ -176,7 +176,9 @@ def count_reads_device(
 
     from ..utils.dna import pack_codes, pack_invalid_mask
 
-    has_invalid = bool((reads > 3).any())
+    from ..utils.dna import has_ambiguous
+
+    has_invalid = has_ambiguous(reads)
     if table_capacity is None and total_windows <= SINGLE_SHOT_WINDOWS:
         return _count_batch(
             pack_codes(reads), cfg.k, np.int32(b), use_pallas,
@@ -191,15 +193,19 @@ def count_reads_device(
     capacity = table_capacity or min(total_windows, SINGLE_SHOT_WINDOWS)
     batch = cfg.batch_reads
     padded = -(-reads.shape[0] // batch) * batch
-    if padded != reads.shape[0]:
-        reads = np.concatenate(
-            [reads, np.zeros((padded - reads.shape[0], length), dtype=np.uint8)],
-            axis=0,
-        )
     table = count_jax.empty_table(capacity, key_words(cfg.k))
 
     def host_prep(start):
+        # pad only the final short batch — padding the whole read array
+        # re-allocates it (page faults on hundreds of MB cost seconds on
+        # this host; see utils.dna.has_ambiguous)
         rows = reads[start : start + batch]
+        if rows.shape[0] < batch:
+            rows = np.concatenate(
+                [rows,
+                 np.zeros((batch - rows.shape[0], length), dtype=np.uint8)],
+                axis=0,
+            )
         chunk = pack_codes(rows)
         if not has_invalid:
             bm = None
@@ -344,7 +350,9 @@ def assemble_tpu(
     wc = reads.shape[1] - cfg.k + 1
     m.count("reads", reads.shape[0])
     m.count("kmers", reads.shape[0] * wc)
-    if (reads > 3).any():
+    from ..utils.dna import has_ambiguous
+
+    if has_ambiguous(reads):
         from ..ops.kmer_ref import window_valid_np
 
         m.count(

@@ -148,9 +148,11 @@ def count_canonical_np(
     """[B, L] reads -> (unique canonical keys [U, W], counts [U]) filtered.
 
     Windows containing ambiguous bases are masked, not counted."""
+    from ..utils.dna import has_ambiguous
+
     canon = extract_canonical_np(reads, k)
     valid = None
-    if (np.asarray(reads) > 3).any():
+    if has_ambiguous(reads):
         valid = window_valid_np(reads, k)
     uniq, counts = count_unique_np(canon, valid)
     keep = counts >= min_count

@@ -154,6 +154,23 @@ def pack_invalid_mask(codes: np.ndarray) -> np.ndarray | None:
     return np.packbits(bad, axis=1, bitorder="little")
 
 
+def has_ambiguous(codes: np.ndarray) -> bool:
+    """True if any code is > 3 (ambiguous/N base) — allocation-free.
+
+    ``(codes > 3).any()`` materializes a full-size boolean temp; at CFG-2
+    scale (232 MB of reads) the page faults on that fresh allocation
+    measured 4.5 s of host wall on this machine. A chunked ``max`` scans
+    at memory bandwidth with zero allocations and exits early once an
+    ambiguous code is seen (real data usually shows its first N early).
+    """
+    flat = np.asarray(codes).ravel()
+    step = 1 << 24
+    for i in range(0, flat.size, step):
+        if flat[i : i + step].max(initial=0) > 3:
+            return True
+    return False
+
+
 def key_words(k: int) -> int:
     """Number of uint32 words per k-mer key.
 

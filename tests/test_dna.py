@@ -67,3 +67,17 @@ def test_revcomp_codes():
     np.testing.assert_array_equal(
         dna.revcomp_codes(codes), dna.encode_seq("CGTT")
     )
+
+
+def test_has_ambiguous():
+    from genome_assembler_tpu.utils.dna import has_ambiguous
+
+    clean = np.zeros((4, 10), dtype=np.uint8)
+    assert not has_ambiguous(clean)
+    dirty = clean.copy()
+    dirty[3, 9] = 4
+    assert has_ambiguous(dirty)
+    # non-contiguous views still scan correctly (ravel copies)
+    assert has_ambiguous(dirty[:, ::3])  # keeps column 9
+    assert not has_ambiguous(dirty[:, ::2])  # drops column 9
+    assert not has_ambiguous(np.zeros(0, dtype=np.uint8))
