@@ -226,7 +226,9 @@ def spell_device_arrays(dev, k: int, u_cap: int | None = None):
     cov_sum = np.asarray(arrs.cov_sum)[:u].astype(np.int64)
     head_words = np.asarray(arrs.head_words)[:u]
     total_body = int(lengths.sum())
-    bases = np.asarray(arrs.bases)[:total_body]
+    from ..utils.dna import unpack_codes_np
+
+    bases = unpack_codes_np(np.asarray(arrs.bases), total_body)
 
     str_len = (k - 1) + lengths
     offsets = np.zeros(u + 1, dtype=np.int64)

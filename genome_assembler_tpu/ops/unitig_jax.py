@@ -312,8 +312,11 @@ class SpellArrays(NamedTuple):
     """Compact spelling transfer set (device -> host link is ~40 MB/s here,
     so the full edge table must not cross it).
 
-    bases:     [E] uint8 — last base of every edge, sorted by (uid, pos):
-               the concatenation of all unitig bodies in unitig order.
+    bases:     [ceil(E/4)] uint8 — last base of every edge, sorted by
+               (uid, pos): the concatenation of all unitig bodies in
+               unitig order, packed 4 bases/byte (utils.dna.pack_codes
+               bit layout) — the device->host link is the cost here and
+               packing quarters it. Unpack via utils.dna.unpack_codes_np.
     head_words:[U_cap, W] uint32 — the head edge k-mer of each unitig
                (its prefix spells the unitig's first k-1 bases).
     lengths:   [U_cap] int32 edge counts per unitig (0 = padding).
@@ -355,6 +358,18 @@ def spell_arrays(dev: DeviceUnitigs, u_cap: int) -> SpellArrays:
     uid_s, packed_s, cov_s = out[0], out[1], out[2]
     words_s = jnp.stack(out[3 : 3 + w], axis=1)
     bases = (packed_s & jnp.uint32(3)).astype(jnp.uint8)
+    # pack 4 bases/byte for the ~40 MB/s device->host pull (E is static;
+    # rows past the valid body are garbage the host never unpacks)
+    e4 = -(-e // 4) * 4
+    quads = jnp.concatenate(
+        [bases, jnp.zeros(e4 - e, jnp.uint8)]
+    ).reshape(-1, 4)
+    bases_packed = (
+        quads[:, 0]
+        | (quads[:, 1] << 2)
+        | (quads[:, 2] << 4)
+        | (quads[:, 3] << 6)
+    )
 
     idx = jnp.arange(e, dtype=jnp.int32)
     prev_uid = jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, jnp.uint32), uid_s[:-1]])
@@ -389,7 +404,7 @@ def spell_arrays(dev: DeviceUnitigs, u_cap: int) -> SpellArrays:
     cov_sum_c = jnp.where(out_idx < num, nxt_cov - excl_c, 0)
     head_words = jnp.stack([sort2[4 + i][:u_cap] for i in range(w)], axis=1)
     return SpellArrays(
-        bases=bases,
+        bases=bases_packed,
         head_words=head_words,
         lengths=lengths_c,
         cov_sum=cov_sum_c,

@@ -154,6 +154,22 @@ def pack_invalid_mask(codes: np.ndarray) -> np.ndarray | None:
     return np.packbits(bad, axis=1, bitorder="little")
 
 
+def unpack_codes_np(packed: np.ndarray, n: int) -> np.ndarray:
+    """Flat packed bytes (4 bases/byte, pack_codes bit layout) -> [n] codes.
+
+    Host-side inverse of the flat packing ops.unitig_jax.spell_arrays
+    applies to the spelled base stream before it crosses the device->host
+    link. Only the first ceil(n/4) bytes are consumed.
+    """
+    packed = np.asarray(packed[: (n + 3) // 4], dtype=np.uint8)
+    quads = np.empty((packed.size, 4), dtype=np.uint8)
+    quads[:, 0] = packed & 3
+    quads[:, 1] = (packed >> 2) & 3
+    quads[:, 2] = (packed >> 4) & 3
+    quads[:, 3] = (packed >> 6) & 3
+    return quads.reshape(-1)[:n]
+
+
 def has_ambiguous(codes: np.ndarray) -> bool:
     """True if any code is > 3 (ambiguous/N base) — allocation-free.
 

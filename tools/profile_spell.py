@@ -124,7 +124,8 @@ def main() -> int:
     lengths = np.asarray(arrs.lengths)[:u].astype(np.int64)
     head_words = np.asarray(arrs.head_words)[:u]
     total_body = int(lengths.sum())
-    bases = np.asarray(arrs.bases)[:total_body]
+    from genome_assembler_tpu.utils.dna import unpack_codes_np
+    bases = unpack_codes_np(np.asarray(arrs.bases), total_body)
     w = head_words.shape[1]
     t0 = time.perf_counter()
     str_len = (k - 1) + lengths
