@@ -270,17 +270,27 @@ def auto_min_count(table_or_counts) -> int:
     is monotonic (error-free data has no valley).
 
     Accepts a CountTable or a plain array of multiplicities (the oracle
-    passes its dict values so both paths pick identical thresholds).
+    passes its dict values so both paths pick identical thresholds). For
+    a CountTable the histogram is computed on device
+    (ops.count_jax.multiplicity_histogram) so only ~4 KB crosses the
+    slow device->host link instead of the whole counts column.
     """
     if isinstance(table_or_counts, count_jax.CountTable):
-        counts = np.asarray(table_or_counts.counts)[
-            : int(table_or_counts.num_unique)
-        ]
+        table = table_or_counts
+        if int(table.num_unique) == 0:
+            return 1
+        full = np.asarray(count_jax.multiplicity_histogram(table))
+        nz = np.nonzero(full)[0]
+        if nz.size == 0:
+            return 1
+        # trim trailing zero bins so the length-sensitive heuristic below
+        # sees exactly what np.bincount of the pulled counts produced
+        hist = full[: int(nz[-1]) + 1]
     else:
         counts = np.asarray(table_or_counts)
-    if counts.size == 0:
-        return 1
-    hist = np.bincount(np.minimum(counts, 1000))
+        if counts.size == 0:
+            return 1
+        hist = np.bincount(np.minimum(counts, 1000))
     if len(hist) < 4:
         return 1
     # coverage peak: the strongest bin past multiplicity 2

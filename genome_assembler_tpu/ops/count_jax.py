@@ -217,6 +217,31 @@ def merge_raw_keys(table: CountTable, keys: jax.Array) -> CountTable:
     )
 
 
+@jax.jit
+def multiplicity_histogram(table: CountTable) -> jax.Array:
+    """[1001] histogram of clamped multiplicities min(count, 1000).
+
+    The automatic coverage-threshold heuristic (models.pipeline.
+    auto_min_count) needs only this histogram; computing it on device
+    (one 1-operand sort + a 1002-point searchsorted) replaces pulling
+    the whole counts column over the ~40 MB/s link (~1.2 s at E. coli
+    scale) with a 4 KB transfer. Padding rows (count 0) land in bin 0,
+    which the heuristic ignores; rows past num_unique are pinned to an
+    out-of-range bin and dropped by the final diff.
+    """
+    n = table.counts.shape[0]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    c = jnp.where(
+        lane < table.num_unique,
+        jnp.minimum(table.counts, 1000),
+        jnp.int32(1001),
+    )
+    s = jax.lax.sort(c)
+    edges = jnp.arange(1002, dtype=jnp.int32)
+    pos = jnp.searchsorted(s, edges)
+    return (pos[1:] - pos[:-1]).astype(jnp.int32)
+
+
 def snug_capacity(n: int, floor: int = 1 << 16) -> int:
     """Smallest grid capacity >= n, grid = {1, 1.25, 1.5, 1.75} x 2^k.
 

@@ -44,3 +44,19 @@ def test_auto_end_to_end_matches_oracle():
 
 def test_auto_on_empty():
     assert auto_min_count(np.array([], dtype=np.int64)) == 1
+
+
+def test_device_histogram_matches_host_threshold():
+    # device-side histogram path must pick the identical threshold the
+    # host bincount path picks on the same multiplicities
+    from genome_assembler_tpu.models.pipeline import count_reads_device
+
+    genome = simulate_genome(6000, seed=77)
+    rs = simulate_reads(
+        genome, coverage=50, read_len=100, seed=78, error_rate=0.01
+    )
+    cfg = AssemblyConfig(k=21, read_len=100)
+    table = count_reads_device(rs.codes, cfg)
+    host_counts = np.asarray(table.counts)[: int(table.num_unique)]
+    assert auto_min_count(table) == auto_min_count(host_counts)
+    assert auto_min_count(table) >= 2  # errored data: filter engages
