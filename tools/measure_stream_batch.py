@@ -92,18 +92,18 @@ def bench_doubling_pack(n: int = 16_777_216, rounds: int = 10,
     @jax.jit
     def packed64(state):
         def body(i, s):
-            g = s[(s >> jnp.int64(32)).astype(jnp.int32)]
-            anc = g & jnp.int64(0xFFFFFFFF00000000)
+            g = s[(s >> jnp.uint64(32)).astype(jnp.int32)]
+            anc = g & jnp.uint64(0xFFFFFFFF00000000)
             # aux columns add in the low 32 bits (no carries: test data
             # keeps sums far below 2^31)
-            low = (s + g) & jnp.int64(0xFFFFFFFF)
+            low = (s + g) & jnp.uint64(0xFFFFFFFF)
             return anc | low
 
         return jax.lax.fori_loop(0, rounds, body, state)
 
     s32 = jnp.stack([jnp.asarray(succ), jnp.asarray(aux)], axis=1)
-    s64 = (jnp.asarray(succ, jnp.int64) << jnp.int64(32)) | jnp.asarray(
-        aux, jnp.int64
+    s64 = (jnp.asarray(succ, jnp.uint64) << jnp.uint64(32)) | jnp.asarray(
+        aux, jnp.uint64
     )
 
     for name, fn, arg in (("rows_int32x2", rows32, s32),
