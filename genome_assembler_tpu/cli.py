@@ -200,6 +200,11 @@ def cmd_assemble(args) -> int:
         read_len=(
             reads.shape[1] if isinstance(reads, np.ndarray) else args.read_len
         ),
+        **(
+            {"batch_reads": args.batch_reads}
+            if getattr(args, "batch_reads", None)
+            else {}
+        ),
     )
     coverages = None
     if args.backend == "oracle":
@@ -244,6 +249,7 @@ def cmd_assemble(args) -> int:
             checkpoint=args.checkpoint,
             resume_from=args.resume_from,
             use_pallas=args.pallas,
+            table_capacity=args.table_capacity,
             return_graph=True,
             emit=args.emit,
         )
@@ -325,6 +331,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pa.add_argument("--pallas", action="store_true",
                     help="use the Pallas extraction kernel (tpu backend)")
+    pa.add_argument("--table-capacity", type=int, default=None,
+                    help="unique-k-mer capacity of the streaming count "
+                    "table (tpu backend). Default sizes it from the window "
+                    "count; a snug genome-scale bound keeps every streaming "
+                    "merge sort small (overflow is a flagged error, never "
+                    "silent)")
+    pa.add_argument("--batch-reads", type=int, default=None,
+                    help="reads per device batch for the streaming counter "
+                    "(default 262144, sized so merge sorts stay under this "
+                    "device's lax.sort size cliff)")
     pa.add_argument("--checkpoint", default=None,
                     help="save the counted k-mer table (.npz) here")
     pa.add_argument("--resume-from", default=None,
