@@ -339,8 +339,8 @@ def build_parser() -> argparse.ArgumentParser:
                     "silent)")
     pa.add_argument("--batch-reads", type=int, default=None,
                     help="reads per device batch for the streaming counter "
-                    "(default 262144, sized so merge sorts stay under this "
-                    "device's lax.sort size cliff)")
+                    "(default 262144 — larger fused batches measured slower "
+                    "on this backend; see RESULTS.md sizing rules)")
     pa.add_argument("--checkpoint", default=None,
                     help="save the counted k-mer table (.npz) here")
     pa.add_argument("--resume-from", default=None,

@@ -1,10 +1,13 @@
-"""Map the lax.sort size response on this device.
+"""Map the lax.sort and row-gather size response on this device.
 
-The stream-batch sweep showed per-row merge cost jumping ~3-8x once the
-merge sort crossed ~2^25 rows (34.9M-row merges ran 5x slower than
-25.7M-row ones despite fewer batches). This probes sort wall-clock vs
-row count directly — 2-key 3-operand sorts, the counting merge shape —
-plus packed-row gather scaling for the doubling loop.
+Measured verdict (2026-08-17): `lax.sort` (2-key 3-operand, the counting
+merge shape) is LINEAR at ~4.3-5.4 ns/row from 20M to 44M rows — no size
+cliff. The stream-batch sweep's several-fold slowdown at larger batches
+(tools/measure_stream_batch.py) is therefore the fused extract+merge
+PROGRAM degrading, i.e. the axon giant-fused-program pathology, not the
+sort primitive. Packed-row gathers step ~45% worse between 13M and 16M
+rows (9.7 -> 14.7 ns/row) and stay flat after — the doubling loop's edge
+tables sit below that boundary at CFG-2/3 scale.
 
 Run: python tools/probe_sort_cliff.py
 """
