@@ -241,15 +241,21 @@ def main() -> int:
     from genome_assembler_tpu.utils.metrics import Metrics
 
     # Cold pass compiles every stage's fresh shapes (minutes on axon);
-    # the warm pass is the steady-state rate production runs see.
+    # the warm passes are the steady-state rate production runs see. Best
+    # of `reps` — a single warm pass right after the cold one has been
+    # observed to absorb seconds of residual post-compile device work.
     mm_cold = Metrics()
     t0 = time.perf_counter()
     contigs = assemble_tpu(reads, cfg, metrics=mm_cold)
     asm_cold_s = time.perf_counter() - t0
-    mm = Metrics()
-    t0 = time.perf_counter()
-    contigs = assemble_tpu(reads, cfg, metrics=mm)
-    asm_s = time.perf_counter() - t0
+    asm_s = None
+    for _ in range(reps):
+        mm_i = Metrics()
+        t0 = time.perf_counter()
+        contigs = assemble_tpu(reads, cfg, metrics=mm_i)
+        dt = time.perf_counter() - t0
+        if asm_s is None or dt < asm_s:
+            asm_s, mm = dt, mm_i
     stats = contig_stats(contigs)
     exact = contigs_equal(contigs, [decode_seq(genome)])
 
