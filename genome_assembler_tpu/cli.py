@@ -387,12 +387,12 @@ def cmd_accept(args) -> int:
     from .models.acceptance import RUNNERS, run
 
     ids = args.configs if args.configs else sorted(RUNNERS)
-    results = run(ids)
-    ok = True
-    for r in results:
-        print(r.to_json())
-        ok = ok and r.passed
-    return 0 if ok else 1
+
+    def emit(r):
+        print(r.to_json(), flush=True)
+
+    results = run(ids, on_result=emit)
+    return 0 if all(r.passed for r in results) else 1
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -312,11 +312,16 @@ RUNNERS: dict[int, Callable[[], AcceptResult]] = {
 }
 
 
-def run(config_ids: list[int]) -> list[AcceptResult]:
+def run(
+    config_ids: list[int], on_result: Callable[[AcceptResult], None] | None = None
+) -> list[AcceptResult]:
     from ..utils.jaxenv import setup
 
     setup()  # honor GA_PLATFORM; enable the persistent compile cache
     results = []
     for cid in config_ids:
-        results.append(RUNNERS[cid]())
+        r = RUNNERS[cid]()
+        if on_result is not None:
+            on_result(r)  # stream results: configs can run for minutes
+        results.append(r)
     return results
