@@ -81,3 +81,19 @@ def test_has_ambiguous():
     assert has_ambiguous(dirty[:, ::3])  # keeps column 9
     assert not has_ambiguous(dirty[:, ::2])  # drops column 9
     assert not has_ambiguous(np.zeros(0, dtype=np.uint8))
+
+
+@given(st.integers(0, 200), st.integers(0, 3))
+def test_unpack_codes_np_roundtrip(n, tail):
+    # flat 2-bit packing used for the device->host spell transfer
+    rng = np.random.default_rng(n * 4 + tail)
+    codes = rng.integers(0, 4, size=n, dtype=np.uint8)
+    pad = (-n) % 4
+    quads = np.concatenate([codes, np.zeros(pad, np.uint8)]).reshape(-1, 4)
+    packed = (
+        quads[:, 0] | (quads[:, 1] << 2) | (quads[:, 2] << 4)
+        | (quads[:, 3] << 6)
+    ).astype(np.uint8)
+    out = dna.unpack_codes_np(packed, n)
+    assert out.shape == (n,)
+    assert np.array_equal(out, codes)
