@@ -227,12 +227,14 @@ def cmd_assemble(args) -> int:
                 reads, cfg, mesh, metrics=metrics, emit=args.emit,
                 checkpoint=args.checkpoint, resume_from=args.resume_from,
                 return_graph=True, minimizer_len=args.minimizer_len,
+                table_capacity=args.table_capacity,
             )
         else:
             contigs, graph = assemble_distributed(
                 reads, cfg, mesh, metrics=metrics, emit=args.emit,
                 checkpoint=args.checkpoint, resume_from=args.resume_from,
                 return_graph=True, minimizer_len=args.minimizer_len,
+                table_capacity=args.table_capacity,
             )
         contigs, coverages = _graph_outputs(args, graph)
     else:  # tpu

@@ -252,6 +252,10 @@ def accept_cfg4() -> AcceptResult:
     rs = simulate_reads(genome, coverage=coverage, read_len=100, seed=1051)
     cfg = AssemblyConfig(k=31, read_len=100)
 
+    # genome-scale unique-k-mer bound: the streamed distributed counter
+    # (beyond DIST_STREAM_WINDOWS per device) sizes its table shards from
+    # this instead of the read stream
+    capacity = snug_capacity(int(1.5 * genome_len) + 4096)
     n_dev = len(jax.devices())
     sizes = sorted({d for d in (1, 2, n_dev) if d <= n_dev})
     rates: dict[int, float] = {}
@@ -259,7 +263,9 @@ def accept_cfg4() -> AcceptResult:
     for d in sizes:
         mesh = build_mesh(d)
         t0 = time.perf_counter()
-        counts = distributed_count_to_host(rs.codes, cfg, mesh)
+        counts = distributed_count_to_host(
+            rs.codes, cfg, mesh, table_capacity=capacity
+        )
         dt = time.perf_counter() - t0
         rates[d] = rs.num_reads / dt
         counts_ok = counts_ok and counts == count_canonical_fast(
@@ -271,8 +277,12 @@ def accept_cfg4() -> AcceptResult:
     # both the gathered path and the fully sharded graph path.
     from ..parallel.pipeline import assemble_distributed_sharded
 
-    contigs = assemble_distributed(rs.codes, cfg, build_mesh(n_dev))
-    sharded = assemble_distributed_sharded(rs.codes, cfg, build_mesh(n_dev))
+    contigs = assemble_distributed(
+        rs.codes, cfg, build_mesh(n_dev), table_capacity=capacity
+    )
+    sharded = assemble_distributed_sharded(
+        rs.codes, cfg, build_mesh(n_dev), table_capacity=capacity
+    )
     oracle = assemble_oracle(rs.codes, cfg)
     assembly_ok = (
         contigs == oracle

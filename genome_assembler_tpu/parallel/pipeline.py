@@ -20,6 +20,8 @@ residue, per SURVEY.md §7 M4/M5.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,32 +96,19 @@ def _route_to_buckets(
     return send.reshape(num_buckets, bucket_cap, w), overflow
 
 
-def make_distributed_count(
-    mesh: Mesh, k: int, batch_per_device: int, read_len: int, bucket_cap: int,
-    axis="d", with_mask: bool = False, minimizer_len: int | None = None,
+def _make_owned_keys(
+    d: int, k: int, read_len: int, bucket_cap: int, axis,
+    minimizer_len: int | None,
 ):
-    """Build the jitted multi-device counting step.
+    """Build the per-device "read batch -> keys this shard owns" body.
 
-    Returns fn(reads [D*B, L] u8, n_valid [D] i32[, inv_mask]) ->
-      (words [D*C, W] row-sharded, counts [D*C], num_unique [D], overflow []).
-    C is each device's table capacity. with_mask adds a packed
-    invalid-base bitmask operand (reads with Ns; see
-    utils.dna.pack_invalid_mask) whose windows are masked before routing.
-
-    axis: one mesh axis name, or a tuple of axis names — a 2-level
-    ('host', 'chip') pod mesh flattens into one logical all-to-all axis
-    (XLA lowers the intra-host legs to ICI and the cross-host legs to DCN).
-
-    minimizer_len set routes minimizer super-k-mer records instead of
-    per-window keys (ops/superkmer.py): ~3-6x less all-to-all volume for
-    k=31/m=15; owners re-extract the windows from the packed substrings.
-    Identical counts either way (a k-mer's minimizer is a function of the
-    k-mer, so all its occurrences share one owner).
+    The shared front half of both distributed counting formulations
+    (one-shot and streamed): extract + canonicalize the local read shard,
+    route every k-mer (or minimizer super-k-mer record) to its hash owner
+    via a bucket-packed ``all_to_all``, and return the received raw keys
+    (sentinel = empty lane) plus the routing-overflow flag. Runs inside
+    ``shard_map``.
     """
-    from .mesh import axis_size
-
-    d = axis_size(mesh, axis)
-    w = key_words(k)
 
     def window_bad(bad_plane):
         wc = read_len - k + 1
@@ -129,9 +118,8 @@ def make_distributed_count(
             out = s if out is None else (out | s)
         return out
 
-    def local_step_minimizer(reads, n_valid, inv_mask=None):
+    def owned_keys_minimizer(reads, n_valid, inv_mask=None):
         from ..ops.superkmer import (
-            RUN_CAP,
             extract_from_records,
             span_words,
             superkmer_records,
@@ -169,38 +157,13 @@ def make_distributed_count(
         keys, _ = extract_from_records(
             recv[:, :sw].astype(jnp.uint32), recv[:, sw], k
         )
-        table = count_jax.count_keys(keys)
-        # the record lanes over-allocate ~RUN_CAP/mean_run x; truncate the
-        # (compact-front) table to a window-scale capacity so downstream
-        # shards and host pulls don't inherit the padding (overflow
-        # flagged, never silent)
-        # each owner receives ~1/D of the global windows = one device's
-        # window count (batch_per_device * wc), plus skew slack
-        out_cap = min(
-            keys.shape[0],
-            int(batch_per_device * (read_len - k + 1) * 1.5) + 256,
-        )
-        if out_cap < table.words.shape[0]:
-            table = count_jax.CountTable(
-                words=table.words[:out_cap],
-                counts=table.counts[:out_cap],
-                num_unique=jnp.minimum(table.num_unique, out_cap),
-                overflow=table.overflow | (table.num_unique > out_cap),
-            )
-        overflow = jax.lax.pmax(
-            (overflow | table.overflow).astype(jnp.int32), axis
-        )
-        return (
-            table.words,
-            table.counts,
-            table.num_unique[None],
-            overflow > 0,
-        )
+        return keys, overflow
 
-    def local_step(reads, n_valid, inv_mask=None):
+    def owned_keys(reads, n_valid, inv_mask=None):
         if minimizer_len is not None:
-            return local_step_minimizer(reads, n_valid, inv_mask)
+            return owned_keys_minimizer(reads, n_valid, inv_mask)
         # reads arrive 2-bit packed (4x smaller host->device transfer)
+        w = key_words(k)
         unpacked = unpack_codes(reads[0], read_len)
         bad = None
         if inv_mask is not None:
@@ -212,7 +175,59 @@ def make_distributed_count(
         recv = jax.lax.all_to_all(
             send, axis, split_axis=0, concat_axis=0, tiled=False
         )
-        table = count_jax.count_keys(recv.reshape(d * bucket_cap, w))
+        return recv.reshape(d * bucket_cap, w), overflow
+
+    return owned_keys
+
+
+def make_distributed_count(
+    mesh: Mesh, k: int, batch_per_device: int, read_len: int, bucket_cap: int,
+    axis="d", with_mask: bool = False, minimizer_len: int | None = None,
+):
+    """Build the jitted multi-device counting step.
+
+    Returns fn(reads [D*B, L] u8, n_valid [D] i32[, inv_mask]) ->
+      (words [D*C, W] row-sharded, counts [D*C], num_unique [D], overflow []).
+    C is each device's table capacity. with_mask adds a packed
+    invalid-base bitmask operand (reads with Ns; see
+    utils.dna.pack_invalid_mask) whose windows are masked before routing.
+
+    axis: one mesh axis name, or a tuple of axis names — a 2-level
+    ('host', 'chip') pod mesh flattens into one logical all-to-all axis
+    (XLA lowers the intra-host legs to ICI and the cross-host legs to DCN).
+
+    minimizer_len set routes minimizer super-k-mer records instead of
+    per-window keys (ops/superkmer.py): ~3-6x less all-to-all volume for
+    k=31/m=15; owners re-extract the windows from the packed substrings.
+    Identical counts either way (a k-mer's minimizer is a function of the
+    k-mer, so all its occurrences share one owner).
+    """
+    from .mesh import axis_size
+
+    d = axis_size(mesh, axis)
+    owned = _make_owned_keys(d, k, read_len, bucket_cap, axis, minimizer_len)
+
+    def local_step(reads, n_valid, inv_mask=None):
+        keys, overflow = owned(reads, n_valid, inv_mask)
+        table = count_jax.count_keys(keys)
+        if minimizer_len is not None:
+            # the record lanes over-allocate ~RUN_CAP/mean_run x; truncate
+            # the (compact-front) table to a window-scale capacity so
+            # downstream shards and host pulls don't inherit the padding
+            # (overflow flagged, never silent). Each owner receives ~1/D
+            # of the global windows = one device's window count, plus
+            # skew slack.
+            out_cap = min(
+                keys.shape[0],
+                int(batch_per_device * (read_len - k + 1) * 1.5) + 256,
+            )
+            if out_cap < table.words.shape[0]:
+                table = count_jax.CountTable(
+                    words=table.words[:out_cap],
+                    counts=table.counts[:out_cap],
+                    num_unique=jnp.minimum(table.num_unique, out_cap),
+                    overflow=table.overflow | (table.num_unique > out_cap),
+                )
         overflow = jax.lax.pmax(
             (overflow | table.overflow).astype(jnp.int32), axis
         )
@@ -244,20 +259,208 @@ def make_distributed_count(
     return step
 
 
+def make_distributed_stream_count(
+    mesh: Mesh, k: int, batch_per_device: int, read_len: int,
+    bucket_cap: int, axis="d", with_mask: bool = False,
+    minimizer_len: int | None = None,
+):
+    """Streamed variant of :func:`make_distributed_count`.
+
+    One fused step routes a read *batch* to its hash owners and
+    weighted-merges the received raw keys straight into the carried
+    per-shard running table (count_jax.merge_raw_keys) — the distributed
+    mirror of models.pipeline._stream_step, so arbitrarily large read
+    sets count in bounded per-device HBM with bounded compile shapes
+    (one fused step over the whole read set scales its compile time and
+    can crash the axon worker; RESULTS.md sizing rules).
+
+    Returns fn(words [D*C, W], counts [D*C], num [D], ovf [D],
+               reads [D, B, L/4] packed, n_valid [D][, inv_mask])
+      -> the table quadruple, updated (inputs donated). ovf accumulates
+      routing-bucket and table overflow per shard; check after the last
+      batch.
+    """
+    import functools
+
+    from .mesh import axis_size
+
+    d = axis_size(mesh, axis)
+    owned = _make_owned_keys(d, k, read_len, bucket_cap, axis, minimizer_len)
+
+    def local_step(tw, tc, tn, tov, reads, n_valid, inv_mask=None):
+        keys, route_ovf = owned(reads, n_valid, inv_mask)
+        table = count_jax.CountTable(
+            words=tw, counts=tc, num_unique=tn[0], overflow=tov[0]
+        )
+        merged = count_jax.merge_raw_keys(table, keys)
+        return (
+            merged.words,
+            merged.counts,
+            merged.num_unique[None],
+            (merged.overflow | route_ovf)[None],
+        )
+
+    in_specs = (
+        P(axis, None), P(axis), P(axis), P(axis),
+        P(axis, None, None), P(axis),
+    )
+    if with_mask:
+        in_specs = in_specs + (P(axis, None, None),)
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def step(words, counts, num, ovf, reads, n_valid, inv_mask=None):
+        if with_mask:
+            return mapped(words, counts, num, ovf, reads, n_valid, inv_mask)
+        return mapped(words, counts, num, ovf, reads, n_valid)
+
+    return step
+
+
+# Above this many windows per device, the distributed counter streams
+# read batches into carried table shards instead of running one fused
+# step over the whole read set (whose compile time scales with shape and
+# can crash the axon worker; see RESULTS.md sizing rules).
+DIST_STREAM_WINDOWS = int(os.environ.get("GA_DIST_STREAM_WINDOWS", 1 << 24))
+
+
+def _bucket_cap_for(windows: int, d: int, k: int,
+                    minimizer_len: int | None) -> int:
+    """Routing-bucket capacity for one device's window count + skew slack."""
+    if minimizer_len is not None:
+        from ..ops.superkmer import mean_run
+
+        # records per device ~ windows / expected run length
+        # (~(k-m+2)/2, variance-discounted) plus skew slack
+        return int(windows / mean_run(k, minimizer_len) / d * 1.6) + 128
+    # expected windows/bucket plus generous skew slack
+    return int(windows / d * 1.5) + 64
+
+
+def _run_distributed_stream(
+    reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh,
+    bucket_cap: int | None, axis, minimizer_len: int | None,
+    table_capacity: int | None,
+):
+    """Streamed counterpart of _run_distributed_step: batches of
+    cfg.batch_reads global reads stream through
+    make_distributed_stream_count with double-buffered uploads.
+
+    table_capacity bounds GLOBAL unique k-mers (genome-scale, like the
+    single-device streaming path); each shard gets capacity/d with hash
+    -skew slack, snapped to the snug grid. Overflow (bucket or shard
+    table) raises after the last batch — flagged, never silent.
+    """
+    from ..ops.count_jax import snug_capacity
+    from ..utils.dna import has_ambiguous, pack_invalid_mask
+    from ..utils.jaxenv import to_host
+    from .mesh import axis_size
+
+    d = axis_size(mesh, axis)
+    b, length = reads.shape
+    wc = length - cfg.k + 1
+    w = key_words(cfg.k)
+    per_dev = max(1, cfg.batch_reads // d)
+    batch_total = per_dev * d
+    nb = -(-b // batch_total)
+    cap_global = table_capacity or min(b * wc, 1 << 26)
+    c_shard = snug_capacity(int(cap_global / d * 1.3) + 64)
+    if bucket_cap is None:
+        bucket_cap = _bucket_cap_for(per_dev * wc, d, cfg.k, minimizer_len)
+
+    any_invalid = has_ambiguous(reads)
+    step = make_distributed_stream_count(
+        mesh, cfg.k, per_dev, length, bucket_cap, axis,
+        with_mask=any_invalid, minimizer_len=minimizer_len,
+    )
+    row_sharding = NamedSharding(mesh, P(axis))
+    sharding3 = NamedSharding(mesh, P(axis, None, None))
+    words = jax.device_put(
+        np.full((d * c_shard, w), 0xFFFFFFFF, dtype=np.uint32),
+        NamedSharding(mesh, P(axis, None)),
+    )
+    counts = jax.device_put(np.zeros(d * c_shard, np.int32), row_sharding)
+    num = jax.device_put(np.zeros(d, np.int32), row_sharding)
+    ovf = jax.device_put(np.zeros(d, bool), row_sharding)
+
+    def upload(i):
+        start = i * batch_total
+        rows = reads[start : start + batch_total]
+        if rows.shape[0] < batch_total:
+            # pad only the short tail batch (page-fault pricing:
+            # utils.dna.has_ambiguous)
+            rows = np.concatenate(
+                [rows,
+                 np.zeros((batch_total - rows.shape[0], length), np.uint8)],
+                axis=0,
+            )
+        packed = pack_codes(rows)
+        nv = np.clip(
+            b - start - per_dev * np.arange(d), 0, per_dev
+        ).astype(np.int32)
+        mask_dev = None
+        if any_invalid:
+            m_ = pack_invalid_mask(rows)
+            if m_ is None:  # locally clean batch: constant jit signature
+                m_ = np.zeros((rows.shape[0], (length + 7) // 8), np.uint8)
+            mask_dev = jax.device_put(
+                m_.reshape(d, per_dev, -1), sharding3
+            )
+        return (
+            jax.device_put(packed.reshape(d, per_dev, -1), sharding3),
+            jax.device_put(nv, row_sharding),
+            mask_dev,
+        )
+
+    pending = upload(0)
+    for i in range(nb):
+        reads_dev, nv_dev, mask_dev = pending
+        if i + 1 < nb:
+            pending = upload(i + 1)  # DMA rides under batch i's compute
+        if any_invalid:
+            words, counts, num, ovf = step(
+                words, counts, num, ovf, reads_dev, nv_dev, mask_dev
+            )
+        else:
+            words, counts, num, ovf = step(
+                words, counts, num, ovf, reads_dev, nv_dev
+            )
+    if bool(np.any(to_host(ovf))):
+        raise RuntimeError(
+            "distributed streaming overflow (routing bucket or table "
+            "shard); increase table_capacity / bucket_cap"
+        )
+    return words, counts, num
+
+
 def _run_distributed_step(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh,
     bucket_cap: int | None, axis, minimizer_len: int | None = None,
+    table_capacity: int | None = None,
 ):
     """Shared front half of the distributed counters: pad + shard + pack
     the reads, build/run the jitted step, check routing overflow.
 
-    Returns (words, counts, num_unique) device arrays (see
+    Streams (bounded per-device HBM and compile shapes) once the
+    per-device window count exceeds DIST_STREAM_WINDOWS; one fused step
+    below it. Returns (words, counts, num_unique) device arrays (see
     make_distributed_count).
     """
     from .mesh import axis_size
 
     d = axis_size(mesh, axis)
     b, length = reads.shape
+    if -(-b // d) * (length - cfg.k + 1) > DIST_STREAM_WINDOWS:
+        return _run_distributed_stream(
+            reads, cfg, mesh, bucket_cap, axis, minimizer_len,
+            table_capacity,
+        )
     per_dev = -(-b // d)
     padded = per_dev * d
     if padded != b:
@@ -267,20 +470,10 @@ def _run_distributed_step(
     n_valid = np.clip(b - per_dev * np.arange(d), 0, per_dev).astype(np.int32)
     windows = per_dev * (length - cfg.k + 1)
     if bucket_cap is None:
-        if minimizer_len is not None:
-            from ..ops.superkmer import mean_run
+        bucket_cap = _bucket_cap_for(windows, d, cfg.k, minimizer_len)
+    from ..utils.dna import has_ambiguous, pack_invalid_mask
 
-            # records per device ~ windows / expected run length
-            # (~(k-m+2)/2, variance-discounted) plus skew slack
-            bucket_cap = int(
-                windows / mean_run(cfg.k, minimizer_len) / d * 1.6
-            ) + 128
-        else:
-            # expected windows/bucket plus generous skew slack
-            bucket_cap = int(windows / d * 1.5) + 64
-    from ..utils.dna import pack_invalid_mask
-
-    inv_mask = pack_invalid_mask(reads)
+    inv_mask = pack_invalid_mask(reads) if has_ambiguous(reads) else None
     step = make_distributed_count(
         mesh, cfg.k, per_dev, length, bucket_cap, axis,
         with_mask=inv_mask is not None, minimizer_len=minimizer_len,
@@ -306,7 +499,7 @@ def _run_distributed_step(
 def distributed_count_to_host(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
     bucket_cap: int | None = None, axis=None,
-    minimizer_len: int | None = None,
+    minimizer_len: int | None = None, table_capacity: int | None = None,
 ) -> dict[str, int]:
     """Count reads over the mesh; gather the global table as a host dict."""
     from .mesh import axis_size, mesh_axes
@@ -314,7 +507,8 @@ def distributed_count_to_host(
     axis = axis if axis is not None else mesh_axes(mesh)
     d = axis_size(mesh, axis)
     words, counts, num_unique = _run_distributed_step(
-        reads, cfg, mesh, bucket_cap, axis, minimizer_len
+        reads, cfg, mesh, bucket_cap, axis, minimizer_len,
+        table_capacity=table_capacity,
     )
     from ..utils.jaxenv import to_host
 
@@ -331,7 +525,7 @@ def distributed_count_to_host(
 def distributed_count_table(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
     bucket_cap: int | None = None, axis=None,
-    minimizer_len: int | None = None,
+    minimizer_len: int | None = None, table_capacity: int | None = None,
 ) -> "count_jax.CountTable":
     """Count reads over the mesh; merge shard tables into one CountTable.
 
@@ -344,7 +538,8 @@ def distributed_count_table(
 
     axis = axis if axis is not None else mesh_axes(mesh)
     words, counts, _ = _run_distributed_step(
-        reads, cfg, mesh, bucket_cap, axis, minimizer_len
+        reads, cfg, mesh, bucket_cap, axis, minimizer_len,
+        table_capacity=table_capacity,
     )
     # Gather shard tables and re-count with multiplicity weights: shard
     # keys are disjoint, so this is a pure re-sort into global order.
@@ -436,6 +631,7 @@ def assemble_distributed_sharded(
     resume_from: str | None = None,
     return_graph: bool = False,
     minimizer_len: int | None = None,
+    table_capacity: int | None = None,
 ) -> list[str]:
     """Fully sharded assembly: the graph never gathers onto one device.
 
@@ -474,7 +670,8 @@ def assemble_distributed_sharded(
     else:
         with m.stage("count"):
             words, counts, num_unique = _run_distributed_step(
-                reads, cfg, mesh, bucket_cap, axis, minimizer_len
+                reads, cfg, mesh, bucket_cap, axis, minimizer_len,
+                table_capacity=table_capacity,
             )
             _sync(counts[:1])
     if checkpoint is not None:
@@ -545,6 +742,7 @@ def assemble_distributed(
     resume_from: str | None = None,
     return_graph: bool = False,
     minimizer_len: int | None = None,
+    table_capacity: int | None = None,
 ) -> list[str]:
     """End-to-end multi-device assembly: reads -> canonical contigs.
 
@@ -579,7 +777,8 @@ def assemble_distributed(
         else:
             with m.stage("count"):
                 table = distributed_count_table(
-                    reads, cfg, mesh, minimizer_len=minimizer_len
+                    reads, cfg, mesh, minimizer_len=minimizer_len,
+                    table_capacity=table_capacity,
                 )
                 sync(table.num_unique)
         if checkpoint is not None:
