@@ -171,6 +171,12 @@ def _make_owned_keys(
 
             bad = unpack_invalid_mask(inv_mask[0], read_len)
         keys, valid = _local_extract(unpacked, k, n_valid[0], bad)
+        if d == 1:
+            # single-owner mesh: every key is already home — skip the
+            # bucket sort + all_to_all and their 1.5x slack lanes
+            # entirely (sentinel lanes are excluded downstream anyway)
+            keys = jnp.where(valid[:, None], keys, SENTINEL)
+            return keys, jnp.asarray(False)
         send, overflow = _route_to_buckets(keys, valid, d, bucket_cap)
         recv = jax.lax.all_to_all(
             send, axis, split_axis=0, concat_axis=0, tiled=False

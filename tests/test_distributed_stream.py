@@ -45,7 +45,7 @@ def _reads(genome_len=900, coverage=12, seed=5, read_len=60, with_n=False):
     return codes
 
 
-@pytest.mark.parametrize("d", [2, 8])
+@pytest.mark.parametrize("d", [1, 2, 8])
 def test_streamed_counts_match_host(force_stream, d):
     codes = _reads()
     cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
