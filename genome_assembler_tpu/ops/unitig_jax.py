@@ -81,7 +81,10 @@ def _doubling(prev: jax.Array, steps: int, track: str = "dist"):
     `steps` rounds and trips the 2^steps detector in _rank_pass), and
     in min-tracking the state can only stabilize after the minimum has
     propagated around the whole cycle.
-    Returns (ancestor, tracked).
+    Returns (ancestor, tracked, changed) — ``changed`` is True iff the
+    loop exhausted ``steps`` rounds without reaching a fixpoint (cycles,
+    or chains longer than 2^steps), which the sampled fast path uses as
+    its exact-fallback trigger.
     """
     n = prev.shape[0]
     ids = jnp.arange(n, dtype=jnp.int32)
@@ -122,12 +125,12 @@ def _doubling(prev: jax.Array, steps: int, track: str = "dist"):
         new, changed = step(state)
         return i + 1, new, changed
 
-    _, state, _ = jax.lax.while_loop(
+    _, state, changed = jax.lax.while_loop(
         cond,
         body,
         (jnp.int32(0), jnp.stack([anc, aux], axis=1), jnp.bool_(True)),
     )
-    return state[:, 0], state[:, 1]
+    return state[:, 0], state[:, 1], changed
 
 
 def _eq_rows(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -274,7 +277,7 @@ def _rank_pass(prev: jax.Array):
     needed at all.
     """
     steps = _steps_for(prev.shape[0])
-    anc, dist = _doubling(prev, steps, track="dist")
+    anc, dist, _ = _doubling(prev, steps, track="dist")
     return anc, dist, jnp.any(dist >= (1 << steps))
 
 
@@ -285,7 +288,7 @@ def _break_cycles(prev: jax.Array, valid: jax.Array):
     e = prev.shape[0]
     ids = jnp.arange(e, dtype=jnp.int32)
     steps = _steps_for(e)
-    anc, mn = _doubling(prev, steps, track="min")
+    anc, mn, _ = _doubling(prev, steps, track="min")
     in_cycle = valid & (prev[anc] >= 0)
     return jnp.where(in_cycle & (ids == mn), -1, prev)
 
@@ -298,9 +301,114 @@ def _finalize_chains(prev: jax.Array, anc: jax.Array, dist: jax.Array, valid: ja
     return uid, dist, jnp.sum(heads.astype(jnp.int32))
 
 
+# Sampled two-level ranking (the fast path of _resolve_chains). Every
+# SAMPLE_STRIDE-th edge id becomes a "ruler"; rulers are uniform-random
+# along chains because edge ids are lexicographic sort positions,
+# unrelated to chain order, so inter-ruler gaps concentrate around
+# SAMPLE_STRIDE * ln(E / SAMPLE_STRIDE) << 2^(SAMPLED_MAX_ROUNDS - 1).
+SAMPLE_STRIDE = 32
+SAMPLED_MAX_ROUNDS = 16
+# Below this the plain pass is already a few gather-milliseconds and the
+# extra host sync + compile of the sampled program costs more than it
+# saves. Tests monkeypatch this to 0 to force the fast path on tiny
+# graphs.
+SAMPLED_MIN_ROWS = 1 << 21
+
+
+@jax.jit
+def _rank_sampled(prev: jax.Array):
+    """Sampled two-level ranking: (head, rank, ok).
+
+    Plain pointer doubling pays ceil(log2(longest chain)) full-size
+    gather rounds — ~24 at E. coli scale, the dominant cost of device
+    compression (RESULTS.md CFG 2). This pass cuts the full-size rounds
+    to ceil(log2(max inter-ruler gap)) ~ 10:
+
+      A. cut every ruler into a head (prev' = -1) and pointer-double:
+         each lane finds its nearest upstream stop (ruler or real head)
+         and the distance to it — gaps are O(STRIDE log E), so this
+         converges in few rounds;
+      B. contract: link each ruler to the next stop upstream of its
+         predecessor, weighted by the phase-A distance, and double over
+         the [E/STRIDE] contracted list (negligible rows);
+      C. combine: rank = dist-to-stop + contracted rank of the stop; one
+         full-size packed-row gather.
+
+    Integer-exact and bit-identical to the plain pass on acyclic graphs
+    (same heads, same distances). ``ok`` is False — caller must fall
+    back to the exact plain pass — iff phase A hit its round cap (a
+    cycle containing no ruler, e.g. a self-loop, or an astronomically
+    unlucky gap) or the contracted list still changed at its own cap (a
+    cycle threading the rulers). Cycles therefore keep today's exact
+    break-at-min-id semantics via the fallback.
+    """
+    e = prev.shape[0]
+    s = SAMPLE_STRIDE
+    ids = jnp.arange(e, dtype=jnp.int32)
+    is_ruler = (ids % s) == 0
+    prev2 = jnp.where(is_ruler, jnp.int32(-1), prev)
+    steps_a = min(SAMPLED_MAX_ROUNDS, _steps_for(e))
+    anc, dist, changed_a = _doubling(prev2, steps_a, track="dist")
+
+    # B: contracted links. Ruler t's predecessor pt chains to stop
+    # anc[pt] at distance dist[pt] + 1; a ruler that is a real head is a
+    # contracted head (its own stop at distance 0).
+    n_r = -(-e // s)
+    r_ids = jnp.arange(n_r, dtype=jnp.int32) * s
+    pt = prev[r_ids]
+    pt_c = jnp.maximum(pt, 0)
+    a0 = jnp.where(pt >= 0, anc[pt_c], r_ids)
+    d0 = jnp.where(pt >= 0, dist[pt_c] + 1, 0)
+
+    csteps = max(1, int(np.ceil(np.log2(max(n_r, 2)))) + 1)
+
+    def cstep(state):
+        canc, cdist = state[:, 0], state[:, 1]
+        # a contracted ancestor is gatherable iff it is a ruler; a
+        # non-ruler ancestor is a real head — that lane is done
+        is_r = (canc % s) == 0
+        g = state[jnp.where(is_r, canc // s, 0)]
+        new = jnp.stack(
+            [
+                jnp.where(is_r, g[:, 0], canc),
+                jnp.where(is_r, cdist + g[:, 1], cdist),
+            ],
+            axis=1,
+        )
+        return new, jnp.any(new != state)
+
+    def ccond(carry):
+        i, _, changed = carry
+        return (i < csteps) & changed
+
+    def cbody(carry):
+        i, state, _ = carry
+        new, changed = cstep(state)
+        return i + 1, new, changed
+
+    _, cstate, changed_b = jax.lax.while_loop(
+        ccond,
+        cbody,
+        (jnp.int32(0), jnp.stack([a0, d0], axis=1), jnp.bool_(True)),
+    )
+
+    # C: every lane combines its phase-A stop with that stop's
+    # contracted rank — one full-size [E] gather of packed [n_r, 2] rows.
+    is_r_a = (anc % s) == 0
+    g = cstate[jnp.where(is_r_a, anc // s, 0)]
+    head = jnp.where(is_r_a, g[:, 0], anc)
+    rank = jnp.where(is_r_a, dist + g[:, 1], dist)
+    return head, rank, ~changed_a & ~changed_b
+
+
 def _resolve_chains(prev: jax.Array, valid: jax.Array):
-    """Chain heads/offsets by pointer doubling; the cycle-breaking pass
-    (circular components only) runs adaptively."""
+    """Chain heads/offsets by pointer doubling; large tables take the
+    sampled two-level fast path, and the cycle-breaking pass (circular
+    components only) runs adaptively on the exact path."""
+    if prev.shape[0] >= SAMPLED_MIN_ROWS:
+        head, rank, ok = _rank_sampled(prev)
+        if bool(ok):
+            return _finalize_chains(prev, head, rank, valid)
     anc, dist, has_cycle = _rank_pass(prev)
     if bool(has_cycle):
         prev = _break_cycles(prev, valid)

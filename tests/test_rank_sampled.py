@@ -1,0 +1,146 @@
+"""Sampled two-level ranking (ops.unitig_jax._rank_sampled) vs the plain
+doubling pass: bit-identical on acyclic graphs, exact fallback on cycles.
+
+The fast path only engages above SAMPLED_MIN_ROWS in production; these
+tests monkeypatch the threshold to 0 so tiny CPU graphs exercise it.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from genome_assembler_tpu.host.dbg import (
+    both_strand_edges,
+    compress_unitigs,
+    spell_device_unitigs,
+)
+from genome_assembler_tpu.models.oracle import count_canonical_fast
+from genome_assembler_tpu.models.pipeline import count_reads_device
+from genome_assembler_tpu.ops import unitig_jax
+from genome_assembler_tpu.ops.count_jax import filter_table
+from genome_assembler_tpu.utils.config import AssemblyConfig
+from genome_assembler_tpu.utils.simulate import simulate_genome, simulate_reads
+
+
+@pytest.fixture()
+def force_sampled(monkeypatch):
+    monkeypatch.setattr(unitig_jax, "SAMPLED_MIN_ROWS", 0)
+
+
+def _plain(prev, valid):
+    anc, dist, has_cycle = unitig_jax._rank_pass(prev)
+    if bool(has_cycle):
+        prev = unitig_jax._break_cycles(prev, valid)
+        anc, dist, _ = unitig_jax._rank_pass(prev)
+    return unitig_jax._finalize_chains(prev, anc, dist, valid)
+
+
+def _chain_prev(order):
+    """prev[] for one chain whose edge ids appear in `order`."""
+    n = len(order)
+    prev = np.full(n, -1, np.int32)
+    for i in range(1, n):
+        prev[order[i]] = order[i - 1]
+    return prev
+
+
+def test_single_chain_in_id_order(force_sampled):
+    n = 300
+    prev = jnp.asarray(_chain_prev(list(range(n))))
+    head, rank, ok = unitig_jax._rank_sampled(prev)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(head), np.zeros(n, np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(rank), np.arange(n, dtype=np.int32)
+    )
+
+
+def test_shuffled_chains_match_plain(force_sampled):
+    rng = np.random.default_rng(42)
+    n = 500
+    order = rng.permutation(n)
+    # split into 3 chains
+    prev = np.full(n, -1, np.int32)
+    for part in np.array_split(order, 3):
+        prev[part[1:]] = part[:-1]
+    prev = jnp.asarray(prev)
+    valid = jnp.ones(n, bool)
+    head, rank, ok = unitig_jax._rank_sampled(prev)
+    assert bool(ok)
+    uid_f, pos_f, num_f = unitig_jax._finalize_chains(prev, head, rank, valid)
+    uid_p, pos_p, num_p = _plain(prev, valid)
+    np.testing.assert_array_equal(np.asarray(uid_f), np.asarray(uid_p))
+    np.testing.assert_array_equal(np.asarray(pos_f), np.asarray(pos_p))
+    assert int(num_f) == int(num_p)
+
+
+def test_cycle_with_ruler_falls_back(force_sampled):
+    # one pure cycle covering all ids: contains ruler 0, so phase A
+    # converges but the contracted list cycles -> ok False
+    n = 200
+    prev = jnp.asarray(np.roll(np.arange(n, dtype=np.int32), 1))
+    _, _, ok = unitig_jax._rank_sampled(prev)
+    assert not bool(ok)
+
+
+def test_rulerless_cycle_falls_back(force_sampled):
+    # cycle among ids 5..12 (no multiple of 32), rest one chain
+    n = 40
+    prev = np.full(n, -1, np.int32)
+    cyc = list(range(5, 13))
+    for i, e in enumerate(cyc):
+        prev[e] = cyc[i - 1]
+    prev = jnp.asarray(prev)
+    _, _, ok = unitig_jax._rank_sampled(prev)
+    assert not bool(ok)
+
+
+def test_self_loop_falls_back(force_sampled):
+    prev = np.full(64, -1, np.int32)
+    prev[33] = 33
+    _, _, ok = unitig_jax._rank_sampled(jnp.asarray(prev))
+    assert not bool(ok)
+
+
+def _unitig_set(unitigs):
+    return {(u.seq, round(u.cov, 9), u.edges) for u in unitigs}
+
+
+@settings(deadline=None, max_examples=8)
+@given(st.integers(0, 2**31 - 1), st.sampled_from([21, 31]))
+def test_compress_device_sampled_matches_host(seed, k):
+    # cannot use the fixture inside @given: patch module state directly
+    old = unitig_jax.SAMPLED_MIN_ROWS
+    unitig_jax.SAMPLED_MIN_ROWS = 0
+    try:
+        genome = simulate_genome(700, seed=seed)
+        rs = simulate_reads(genome, coverage=8, read_len=k + 30, seed=seed + 1)
+        cfg = AssemblyConfig(k=k, read_len=rs.codes.shape[1])
+        table = filter_table(count_reads_device(rs.codes, cfg), 1)
+        dev = unitig_jax.compress_unitigs_device(table, k)
+        got = _unitig_set(spell_device_unitigs(dev, k))
+        counts = count_canonical_fast(rs.codes, k)
+        want = _unitig_set(compress_unitigs(both_strand_edges(counts), k))
+        assert got == want
+    finally:
+        unitig_jax.SAMPLED_MIN_ROWS = old
+
+
+def test_compress_device_sampled_circular_genome():
+    old = unitig_jax.SAMPLED_MIN_ROWS
+    unitig_jax.SAMPLED_MIN_ROWS = 0
+    try:
+        genome = simulate_genome(300, seed=7)
+        circ = np.concatenate([genome, genome[:99]])
+        rs = simulate_reads(circ, coverage=20, read_len=100, seed=8)
+        cfg = AssemblyConfig(k=21, read_len=100)
+        table = filter_table(count_reads_device(rs.codes, cfg), 1)
+        dev = unitig_jax.compress_unitigs_device(table, 21)
+        got = _unitig_set(spell_device_unitigs(dev, 21))
+        counts = count_canonical_fast(rs.codes, 21)
+        want = _unitig_set(compress_unitigs(both_strand_edges(counts), 21))
+        assert got == want
+    finally:
+        unitig_jax.SAMPLED_MIN_ROWS = old
