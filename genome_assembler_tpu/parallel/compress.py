@@ -18,19 +18,26 @@ slot of any id are one divide/mod — no directory. Stages, all under one
      each owner runs the r1 sort-join (ops.unitig_jax._link_sortjoin
      semantics) on its received records and routes prev-pointers back to
      the predecessor's owner;
-  3. pointer doubling over global ids: each round deduplicates local
-     ancestor targets (sort + scans), all-to-alls the unique queries to
-     their owners, answers with a local row gather, and all-to-alls back —
-     two collectives per round, O(K) rows each;
+  3. ranking over global ids: the sampled two-level fast path (mirrors
+     ops.unitig_jax._rank_sampled) pointer-doubles only to the nearest
+     ruler — each round deduplicates local ancestor targets (sort +
+     scans), all-to-alls the unique queries to their owners, answers
+     with a local row gather, and all-to-alls back — then all-gathers
+     the E/STRIDE contracted list once and ranks it locally with zero
+     per-round communication; rounds stop early on a pmax-replicated
+     convergence flag, so the interconnect pays ceil(log2(max ruler
+     gap)) query rounds, not ceil(log2(global E));
   4. unitig numbering: head counts all-gather into global offsets; one
      more query round fetches uid(anc) for every edge;
   5. spelling: each device emits fixed-size per-edge quads
      (uid, pos, base, cov) + head rows; the host assembles strings with
      NumPy (host RAM, not HBM, is the only O(E) consumer).
 
-Cycle handling matches the single-device path bit for bit: a doubling pass
-detects cycles by distance overflow, a min-id pass breaks each cycle at
-its smallest global edge id, and the distance pass reruns.
+Cycle handling matches the single-device path bit for bit: the sampled
+pass detects non-convergence (a cycle, or a ruler gap past the round cap)
+and falls back to the exact pass — full doubling, distance-overflow cycle
+detection, a min-id pass breaking each cycle at its smallest GLOBAL edge
+id, and a rerun of the distance pass.
 """
 
 from __future__ import annotations
@@ -47,6 +54,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.count_jax import CountTable, compact_front, sort_by_words
 from ..ops.hash import mix_words
 from ..ops.kmer_jax import SENTINEL
+from ..ops.unitig_jax import SAMPLE_STRIDE, SAMPLED_MAX_ROUNDS
 from ..ops.words_jax import prefix_node, revcomp_words, suffix_node
 from ..utils.dna import key_words
 from .mesh import axis_size, mesh_axes
@@ -250,8 +258,19 @@ def make_sharded_compress(
         ans_uniq = resp.reshape(d * cap_query, -1)[flat]
         return ans_uniq[uniq_rank], ovf
 
-    def double(prev, valid, track):
-        """Distributed pointer doubling; returns (anc, aux, overflow)."""
+    def double(prev, valid, track, max_rounds=None):
+        """Distributed pointer doubling; returns (anc, aux, changed, ovf).
+
+        Early exit mirrors the single-device pass: the loop stops once a
+        round changes nothing anywhere (pmax-replicated flag), so rounds
+        paid = ceil(log2(longest chain)), not ceil(log2(global E)); each
+        round here costs sorts + three all_to_alls, so the saving rides
+        the interconnect. ``changed`` True on exit means the round cap
+        was exhausted before a fixpoint (cycles, or a sampled pass whose
+        cap was too small) — callers use it for cycle detection and for
+        the sampled fast path's exact-fallback trigger.
+        """
+        rounds = steps if max_rounds is None else max_rounds
         my_gid = (
             jax.lax.axis_index(axis).astype(jnp.int32) * k_cap
             + jnp.arange(k_cap, dtype=jnp.int32)
@@ -263,22 +282,106 @@ def make_sharded_compress(
             aux = jnp.minimum(my_gid, anc)
         state = jnp.stack([anc, aux], axis=1)
 
-        def body(_, carry):
-            state, ovf = carry
+        def cond(carry):
+            i, _, changed, _ = carry
+            return (i < rounds) & changed
+
+        def body(carry):
+            i, state, _, ovf = carry
             ans, o = query_round(state, state[:, 0], valid)
             anc2 = jnp.where(valid, ans[:, 0], state[:, 0])
             if track == "dist":
                 aux2 = jnp.where(valid, state[:, 1] + ans[:, 1], state[:, 1])
+                # all fetched increments 0 => every ancestor is a head,
+                # now and at every later round (cycles keep them > 0)
+                local_changed = jnp.any(valid & (ans[:, 1] != 0))
             else:
                 aux2 = jnp.where(
                     valid, jnp.minimum(state[:, 1], ans[:, 1]), state[:, 1]
                 )
-            return jnp.stack([anc2, aux2], axis=1), ovf | o
+                local_changed = jnp.any(
+                    valid & ((anc2 != state[:, 0]) | (aux2 != state[:, 1]))
+                )
+            changed = (
+                jax.lax.pmax(local_changed.astype(jnp.int32), axis) > 0
+            )
+            return i + 1, jnp.stack([anc2, aux2], axis=1), changed, ovf | o
 
-        state, ovf = jax.lax.fori_loop(
-            0, steps, body, (state, jnp.asarray(False))
+        _, state, changed, ovf = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.int32(0), state, jnp.asarray(True), jnp.asarray(False)),
         )
-        return state[:, 0], state[:, 1], ovf
+        return state[:, 0], state[:, 1], changed, ovf
+
+    # Sampled two-level ranking (mirrors ops.unitig_jax._rank_sampled,
+    # distributed): every SAMPLE_STRIDE-th global id is a ruler. Phase A
+    # needs only ceil(log2(max inter-ruler gap)) query rounds instead of
+    # ceil(log2(global E)); the contracted list (E / STRIDE rows) is
+    # all-gathered and ranked LOCALLY on every device — zero per-round
+    # communication for phase B. k_cap is a snug-grid multiple of the
+    # stride, so (gid % STRIDE == 0) identifies rulers in global id space.
+    s_stride = SAMPLE_STRIDE
+    sampled_rounds = min(SAMPLED_MAX_ROUNDS, steps)
+    use_sampled = k_cap % s_stride == 0 and k_cap >= 4 * s_stride
+
+    def crow_of(gid):
+        return (gid // k_cap) * (k_cap // s_stride) + (gid % k_cap) // s_stride
+
+    def rank_sampled(prev, valid, my_gid):
+        """(head, rank, ok, ovf) — ok False requires the exact fallback."""
+        is_ruler = (my_gid % s_stride) == 0
+        prev2 = jnp.where(is_ruler, jnp.int32(-1), prev)
+        anc, dist, changed_a, o_a = double(
+            prev2, valid, "dist", max_rounds=sampled_rounds
+        )
+
+        # contracted links: ruler t -> nearest stop above prev[t],
+        # weighted by the phase-A distance (+1 for the t -> prev[t] edge)
+        r_slots = jnp.arange(0, k_cap, s_stride, dtype=jnp.int32)
+        r_gid = my_gid[r_slots]
+        pt = prev[r_slots]
+        pans, o_b = query_round(
+            jnp.stack([anc, dist], axis=1), pt, pt >= 0
+        )
+        a0 = jnp.where(pt >= 0, pans[:, 0], r_gid)
+        d0 = jnp.where(pt >= 0, pans[:, 1] + 1, 0)
+        cstate_local = jnp.stack([a0, d0], axis=1)
+        # replicate the contracted list; rank it locally on every device
+        cstate = jax.lax.all_gather(cstate_local, axis).reshape(-1, 2)
+        n_c = cstate.shape[0]
+        csteps = max(1, int(math.ceil(math.log2(max(n_c, 2)))) + 1)
+
+        def ccond(carry):
+            i, _, changed = carry
+            return (i < csteps) & changed
+
+        def cbody(carry):
+            i, state, _ = carry
+            canc, cdist = state[:, 0], state[:, 1]
+            is_r = (canc % s_stride) == 0
+            g = state[jnp.where(is_r, crow_of(canc), 0)]
+            new = jnp.stack(
+                [
+                    jnp.where(is_r, g[:, 0], canc),
+                    jnp.where(is_r, cdist + g[:, 1], cdist),
+                ],
+                axis=1,
+            )
+            return i + 1, new, jnp.any(new != state)
+
+        _, cstate, changed_b = jax.lax.while_loop(
+            ccond,
+            cbody,
+            (jnp.int32(0), cstate, jnp.asarray(True)),
+        )
+
+        is_r_a = (anc % s_stride) == 0
+        g = cstate[jnp.where(is_r_a, crow_of(anc), 0)]
+        head = jnp.where(is_r_a, g[:, 0], anc)
+        rank = jnp.where(is_r_a, dist + g[:, 1], dist)
+        ok = ~changed_a & ~changed_b
+        return head, rank, ok, o_a | o_b
 
     def step(words_sh, counts_sh):
         words = words_sh.reshape(c_shard, w)
@@ -290,28 +393,45 @@ def make_sharded_compress(
         prev, ovf = link(edge_words, valid, my_gid)
         prev = jnp.where(valid, prev, -1)
 
-        anc, dist, o1 = double(prev, valid, "dist")
-        has_cycle = jax.lax.pmax(
-            jnp.any(valid & (dist >= (1 << min(steps, 29)))).astype(jnp.int32),
-            axis,
-        ) > 0
+        def exact_rank(_):
+            """Plain doubling + adaptive cycle break (break at min
+            GLOBAL id — the normative sharded-cycle semantics)."""
+            anc, dist, _, o1 = double(prev, valid, "dist")
+            has_cycle = jax.lax.pmax(
+                jnp.any(
+                    valid & (dist >= (1 << min(steps, 29)))
+                ).astype(jnp.int32),
+                axis,
+            ) > 0
 
-        def with_break(_):
-            _, mn, o_min = double(prev, valid, "min")
-            # in_cycle: my ancestor still has a predecessor
-            pstate = jnp.stack([prev, prev], axis=1)
-            pans, o_q = query_round(pstate, anc, valid)
-            in_cycle = valid & (pans[:, 0] >= 0)
-            prev2 = jnp.where(in_cycle & (my_gid == mn), -1, prev)
-            anc2, dist2, o_d = double(prev2, valid, "dist")
-            return prev2, anc2, dist2, o_min | o_q | o_d
+            def with_break(_):
+                _, mn, _, o_min = double(prev, valid, "min")
+                # in_cycle: my ancestor still has a predecessor
+                pstate = jnp.stack([prev, prev], axis=1)
+                pans, o_q = query_round(pstate, anc, valid)
+                in_cycle = valid & (pans[:, 0] >= 0)
+                prev2 = jnp.where(in_cycle & (my_gid == mn), -1, prev)
+                anc2, dist2, _, o_d = double(prev2, valid, "dist")
+                return prev2, anc2, dist2, o_min | o_q | o_d
 
-        def no_break(_):
-            return prev, anc, dist, jnp.asarray(False)
+            def no_break(_):
+                return prev, anc, dist, jnp.asarray(False)
 
-        prev, anc, dist, o_cycle = jax.lax.cond(
-            has_cycle, with_break, no_break, None
-        )
+            prev2, anc, dist, o_cycle = jax.lax.cond(
+                has_cycle, with_break, no_break, None
+            )
+            return prev2, anc, dist, o1 | o_cycle
+
+        if use_sampled:
+            head, rank, s_ok, o_s = rank_sampled(prev, valid, my_gid)
+            prev, anc, dist, o1 = jax.lax.cond(
+                s_ok,
+                lambda _: (prev, head, rank, o_s),
+                exact_rank,
+                None,
+            )
+        else:
+            prev, anc, dist, o1 = exact_rank(None)
 
         # global unitig numbering
         heads = valid & (prev == -1)
@@ -330,7 +450,7 @@ def make_sharded_compress(
 
         num_unitigs = jnp.sum(all_counts)
         overflow = jax.lax.pmax(
-            (ovf | o1 | o2 | o_cycle).astype(jnp.int32), axis
+            (ovf | o1 | o2).astype(jnp.int32), axis
         ) > 0
         last_base = (edge_words[:, -1] & jnp.uint32(3)).astype(jnp.uint8)
         return (

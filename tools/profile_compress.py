@@ -33,6 +33,7 @@ def main() -> int:
         _finalize_chains,
         _link_sortjoin,
         _rank_pass,
+        _rank_sampled,
         spell_arrays,
     )
     from genome_assembler_tpu.utils.config import AssemblyConfig
@@ -107,6 +108,12 @@ def main() -> int:
     print(json.dumps({"stage": "edge_rows", "e": e}))
     prev = timed("link_sortjoin", _link_sortjoin, ew, valid, k)
     anc, dist, has_cycle = timed("rank_pass(doubling)", _rank_pass, prev)
+    anc_s, dist_s, ok_s = timed("rank_sampled(fast path)", _rank_sampled, prev)
+    print(json.dumps({"stage": "sampled_ok", "ok": bool(ok_s),
+                      "matches_plain": bool(
+                          (np.asarray(anc_s) == np.asarray(anc)).all()
+                          and (np.asarray(dist_s) == np.asarray(dist)).all()
+                      )}))
     uid, pos, num = timed(
         "finalize_chains", _finalize_chains, prev, anc, dist, valid
     )
