@@ -195,7 +195,7 @@ def spell_device_arrays(dev, k: int, u_cap: int | None = None):
     """
     from ..ops.count_jax import snug_capacity
     from ..ops.unitig_jax import spell_arrays
-    from .simplify_arrays import UnitigArrays
+    from .simplify_arrays import build_unitig_arrays
 
     e = dev.edge_words.shape[0]
     w = dev.edge_words.shape[1]
@@ -213,14 +213,9 @@ def spell_device_arrays(dev, k: int, u_cap: int | None = None):
 
     u = int(arrs.num_unitigs)
     if u == 0:  # e.g. a coverage filter that dropped every k-mer
-        from .simplify_arrays import UnitigArrays
-
-        return UnitigArrays(
-            buf=np.empty(0, dtype=np.uint8),
-            off=np.zeros(1, dtype=np.int64),
-            edges=np.empty(0, dtype=np.int64),
-            cov_sum=np.empty(0, dtype=np.int64),
-            k=k,
+        return build_unitig_arrays(
+            np.empty(0, np.uint8), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty((0, w), np.uint32), k,
         )
     lengths = np.asarray(arrs.lengths)[:u].astype(np.int64)
     cov_sum = np.asarray(arrs.cov_sum)[:u].astype(np.int64)
@@ -229,42 +224,7 @@ def spell_device_arrays(dev, k: int, u_cap: int | None = None):
     from ..utils.dna import unpack_codes_np
 
     bases = unpack_codes_np(np.asarray(arrs.bases), total_body)
-
-    str_len = (k - 1) + lengths
-    offsets = np.zeros(u + 1, dtype=np.int64)
-    np.cumsum(str_len, out=offsets[1:])
-    buf = np.empty(int(offsets[-1]), dtype=np.uint8)
-
-    # bodies: the sorted base stream is the concatenation of unitig bodies
-    body_excl = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-    body_start = offsets[:-1] + (k - 1)
-    if u <= 8192:
-        # few (usually long) unitigs: plain slice copies — measured 10x+
-        # over materializing a fancy index the size of the genome
-        # (tools/profile_spell.py: 1.49 s -> ~0.1 s at CFG-2 scale)
-        for i in range(u):
-            s = int(body_excl[i])
-            ln = int(lengths[i])
-            d = int(body_start[i])
-            buf[d : d + ln] = bases[s : s + ln]
-    else:
-        # many short unitigs: one int32 fancy scatter (buf is < 2^31
-        # bytes by the edge-table bound, so 32-bit indices always fit
-        # and halve the index-build traffic vs int64)
-        dest = np.repeat(
-            (body_start - body_excl).astype(np.int32), lengths
-        ) + np.arange(total_body, dtype=np.int32)
-        buf[dest] = bases
-    # heads: first k-1 bases decoded from each unitig's head edge k-mer
-    head_off = offsets[:-1]
-    for j in range(k - 1):
-        bitpos = 2 * (k - 1 - j)
-        widx = w - 1 - bitpos // 32
-        base = (head_words[:, widx] >> np.uint32(bitpos % 32)) & np.uint32(3)
-        buf[head_off + j] = base.astype(np.uint8)
-    return UnitigArrays(
-        buf=buf, off=offsets, edges=lengths, cov_sum=cov_sum, k=k
-    )
+    return build_unitig_arrays(bases, lengths, cov_sum, head_words, k)
 
 
 def spell_device_unitigs(dev, k: int, u_cap: int | None = None) -> list[Unitig]:

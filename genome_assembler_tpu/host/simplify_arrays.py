@@ -79,6 +79,80 @@ class UnitigArrays:
         )
 
 
+def build_unitig_arrays(
+    bases: np.ndarray,
+    lengths: np.ndarray,
+    cov_sum: np.ndarray,
+    head_words: np.ndarray,
+    k: int,
+) -> UnitigArrays:
+    """Assemble UnitigArrays from the compact spell transfer set.
+
+    bases:      [sum(lengths)] uint8 codes — the last base of every edge in
+                global (uid, pos) order (the concatenation of all unitig
+                bodies, unitig order).
+    lengths:    [U] edge counts per unitig.
+    cov_sum:    [U] summed edge multiplicities per unitig.
+    head_words: [U, W] uint32 — each unitig's head edge k-mer; its prefix
+                spells the first k-1 bases.
+
+    Shared final-assembly step of every spell path (host.dbg
+    .spell_device_arrays single-device, parallel.compress sharded paths);
+    pure vectorized NumPy in host RAM.
+    """
+    u = len(lengths)
+    if u == 0:  # e.g. a coverage filter that dropped every k-mer
+        return UnitigArrays(
+            buf=np.empty(0, dtype=np.uint8),
+            off=np.zeros(1, dtype=np.int64),
+            edges=np.empty(0, dtype=np.int64),
+            cov_sum=np.empty(0, dtype=np.int64),
+            k=k,
+        )
+    lengths = lengths.astype(np.int64)
+    w = head_words.shape[1]
+    total_body = int(lengths.sum())
+    str_len = (k - 1) + lengths
+    offsets = np.zeros(u + 1, dtype=np.int64)
+    np.cumsum(str_len, out=offsets[1:])
+    buf = np.empty(int(offsets[-1]), dtype=np.uint8)
+
+    # bodies: the sorted base stream is the concatenation of unitig bodies
+    body_excl = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    body_start = offsets[:-1] + (k - 1)
+    if u <= 8192:
+        # few (usually long) unitigs: plain slice copies — measured 10x+
+        # over materializing a fancy index the size of the genome
+        # (tools/profile_spell.py: 1.49 s -> ~0.1 s at CFG-2 scale)
+        for i in range(u):
+            s = int(body_excl[i])
+            ln = int(lengths[i])
+            d = int(body_start[i])
+            buf[d : d + ln] = bases[s : s + ln]
+    else:
+        # many short unitigs: one int32 fancy scatter (buf is < 2^31
+        # bytes by the edge-table bound, so 32-bit indices always fit
+        # and halve the index-build traffic vs int64)
+        dest = np.repeat(
+            (body_start - body_excl).astype(np.int32), lengths
+        ) + np.arange(total_body, dtype=np.int32)
+        buf[dest] = bases[:total_body]
+    # heads: first k-1 bases decoded from each unitig's head edge k-mer
+    head_off = offsets[:-1]
+    for j in range(k - 1):
+        bitpos = 2 * (k - 1 - j)
+        widx = w - 1 - bitpos // 32
+        b = (head_words[:, widx] >> np.uint32(bitpos % 32)) & np.uint32(3)
+        buf[head_off + j] = b.astype(np.uint8)
+    return UnitigArrays(
+        buf=buf,
+        off=offsets,
+        edges=lengths,
+        cov_sum=cov_sum.astype(np.int64),
+        k=k,
+    )
+
+
 def from_unitigs(unitigs: list[Unitig], k: int) -> UnitigArrays:
     """Pack a Unitig list into columnar arrays (adapter for tests/host)."""
     from ..utils.dna import encode_seq

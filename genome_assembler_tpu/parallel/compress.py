@@ -476,11 +476,274 @@ def peak_rows_per_device(d: int, c_shard: int) -> int:
     """Largest per-device buffer rows in the sharded compression.
 
     All buffers are static shapes proportional to c_shard = C_global/D, so
-    per-device memory scales ~1/D; tests pin this arithmetic.
+    per-device memory scales ~1/D; tests pin this arithmetic. (The spell
+    reduction's buffers are smaller: its routing send buffer is
+    d * cap_route ≈ 2 * k_cap rows of ONE int32 column, and its per-unitig
+    buffers are O(num_unitigs) — genome-structure-sized, not edge-sized.)
     """
     k_cap = 2 * c_shard
     cap_join = int(2 * k_cap / d * 1.6) + 128
     return max(2 * k_cap, d * cap_join)
+
+
+@functools.lru_cache(maxsize=64)
+def make_sharded_spell(
+    mesh: Mesh, k: int, c_shard: int, u_block: int, axis=None,
+    route_slack: float = 2.0,
+):
+    """Build the jitted sharded spelling reduction (range-sort spelling).
+
+    The gathered-quads spelling (spell_quads_arrays) pulls every edge's
+    (uid, pos, cov, words) to the host — O(E · ~22 B) across the slow
+    device->host link, plus a host lexsort. Here the device mesh computes
+    every edge's GLOBAL position in the (uid, pos)-sorted body stream
+    directly — g = unitig_offset[uid] + pos, a bijection onto
+    [0, E_valid) — and routes (g, base) to g's chunk owner, so no
+    distributed sort is ever needed and per-chunk receive volume is
+    exactly balanced by construction. The host then pulls only:
+
+      * the 2-bit-packed base stream chunks (E/4 bytes total),
+      * per-unitig lengths / coverage sums / head words (O(U) rows).
+
+    Stages, one shard_map dispatch:
+      1. per-unitig stats: local (count, cov-sum) partials per distinct
+         uid (sort + neighbor-diff segment reduce), all-to-all'd to the
+         uid's numbering device (uid ranges are contiguous per device by
+         construction of the head numbering), owner-reduced, scattered
+         into [u_block] shard tables;
+      2. head tables: a head edge's uid was numbered on its own device,
+         so head words scatter locally — zero communication;
+      3. offsets: shard lengths all-gather (O(U) rows) -> masked global
+         exclusive cumsum -> per-edge offset lookup;
+      4. base routing: (g % k_cap)*4 | base packed in one int32 lane,
+         bucket-packed to device g // k_cap, scattered by slot, packed
+         4 bases/byte.
+
+    Overflow (u_block or routing caps) is flagged, never silent; the caps
+    are terminal at u_block = cap_route = k_cap (a sender cannot route
+    more rows than it has), so the caller's retry loop provably lands.
+    """
+    axis = axis if axis is not None else mesh_axes(mesh)
+    d = axis_size(mesh, axis)
+    w = key_words(k)
+    k_cap = 2 * c_shard
+    k4 = -(-k_cap // 4) * 4
+    cap_route = min(k_cap, int(k_cap / d * route_slack) + 128)
+    big = jnp.uint32(BIG)
+
+    def _segment_stats(uid_col, cnt_col, cov_col, n):
+        """Per-distinct-uid (uid, sum cnt, sum cov) via sort + neighbor
+        diff of exclusive cumsums; rows compacted to the front in uid
+        order. Padding rows carry uid BIG."""
+        s = jax.lax.sort((uid_col, cnt_col, cov_col), num_keys=1)
+        u_s, c_s, v_s = s
+        lane = jnp.arange(n, dtype=jnp.int32)
+        start = jnp.concatenate([jnp.ones(1, bool), u_s[1:] != u_s[:-1]])
+        ecnt = jnp.cumsum(c_s) - c_s
+        ecov = jnp.cumsum(v_s) - v_s
+        srt = jax.lax.sort(
+            ((~start).astype(jnp.uint32), u_s, ecnt, ecov), num_keys=2
+        )
+        u_c, ecnt_c, ecov_c = srt[1], srt[2], srt[3]
+        is_real = (srt[0] == 0) & (u_c < big)
+        nr = jnp.sum(is_real.astype(jnp.int32))
+        tot_cnt = jnp.sum(jnp.where(u_s < big, c_s, 0))
+        tot_cov = jnp.sum(jnp.where(u_s < big, v_s, 0))
+        nxt_cnt = jnp.concatenate([ecnt_c[1:], jnp.zeros(1, ecnt_c.dtype)])
+        nxt_cov = jnp.concatenate([ecov_c[1:], jnp.zeros(1, ecov_c.dtype)])
+        nxt_cnt = jnp.where(lane == nr - 1, tot_cnt, nxt_cnt)
+        nxt_cov = jnp.where(lane == nr - 1, tot_cov, nxt_cov)
+        cnt = jnp.where(is_real, nxt_cnt - ecnt_c, 0)
+        cov = jnp.where(is_real, nxt_cov - ecov_c, 0)
+        return u_c, cnt, cov, is_real
+
+    def step(valid, uid, pos, cov, heads, edge_words):
+        valid = valid.reshape(k_cap)
+        uid = uid.reshape(k_cap)
+        pos = pos.reshape(k_cap)
+        cov = cov.reshape(k_cap)
+        heads = heads.reshape(k_cap)
+        edge_words = edge_words.reshape(k_cap, w)
+        my_d = jax.lax.axis_index(axis).astype(jnp.int32)
+
+        n_heads = jnp.sum(heads.astype(jnp.int32))
+        all_counts = jax.lax.all_gather(n_heads, axis).reshape(-1)
+        my_offs = jnp.cumsum(all_counts) - all_counts
+        my_off = my_offs[my_d]
+        u_ovf = jnp.any(all_counts > u_block)
+
+        # -- head tables: local scatter, zero comms (see docstring)
+        hslot = jnp.where(heads, uid - my_off, u_block)
+        head_words_buf = (
+            jnp.zeros((u_block, w), jnp.uint32)
+            .at[hslot]
+            .set(jnp.where(heads[:, None], edge_words, 0), mode="drop")
+        )
+
+        # -- per-unitig stats, routed to the uid's numbering device
+        uid_adj = jnp.where(valid, uid, BIG).astype(jnp.uint32)
+        ones = jnp.where(valid, 1, 0).astype(jnp.int32)
+        u_c, cnt_p, cov_p, real_p = _segment_stats(
+            uid_adj, ones, jnp.where(valid, cov, 0), k_cap
+        )
+        owner_u = jnp.clip(
+            jnp.searchsorted(
+                my_offs, u_c.astype(jnp.int32), side="right"
+            ) - 1,
+            0, d - 1,
+        ).astype(jnp.int32)
+        rec = jnp.stack([u_c.astype(jnp.int32), cnt_p, cov_p], axis=1)
+        send, o1 = _bucket_pack(rec, owner_u, real_p, d, u_block)
+        recv = jax.lax.all_to_all(
+            send, axis, split_axis=0, concat_axis=0, tiled=False
+        ).reshape(d * u_block, 3)
+        ruid = jnp.where(recv[:, 0] >= 0, recv[:, 0], BIG).astype(jnp.uint32)
+        u2c, len_u, cov_u, real2 = _segment_stats(
+            ruid, recv[:, 1], recv[:, 2], d * u_block
+        )
+        slot2 = jnp.where(real2, u2c.astype(jnp.int32) - my_off, u_block)
+        lengths_shard = (
+            jnp.zeros(u_block, jnp.int32).at[slot2].set(len_u, mode="drop")
+        )
+        cov_shard = (
+            jnp.zeros(u_block, jnp.int32).at[slot2].set(cov_u, mode="drop")
+        )
+
+        # -- global unitig offsets (masked cumsum over gathered lengths)
+        lengths_all = jax.lax.all_gather(lengths_shard, axis).reshape(
+            d, u_block
+        )
+        lu = jnp.arange(u_block, dtype=jnp.int32)
+        vm = lu[None, :] < all_counts[:, None]
+        flat_len = jnp.where(vm, lengths_all, 0).reshape(-1)
+        excl_off = jnp.cumsum(flat_len) - flat_len
+        o_dev = jnp.clip(
+            jnp.searchsorted(my_offs, uid, side="right") - 1, 0, d - 1
+        )
+        fidx = jnp.clip(
+            o_dev * u_block + uid - my_offs[o_dev], 0, d * u_block - 1
+        )
+        g = excl_off[fidx] + pos
+
+        # -- base routing to the global position's chunk owner
+        base2 = (edge_words[:, -1] & jnp.uint32(3)).astype(jnp.int32)
+        pay = jnp.where(valid, (g % k_cap) * 4 + base2, -1)
+        dest = jnp.where(valid, g // k_cap, 0).astype(jnp.int32)
+        send2, o2 = _bucket_pack(pay[:, None], dest, valid, d, cap_route)
+        recv2 = jax.lax.all_to_all(
+            send2, axis, split_axis=0, concat_axis=0, tiled=False
+        ).reshape(d * cap_route)
+        bslot = jnp.where(recv2 >= 0, recv2 // 4, k4)
+        bases_buf = (
+            jnp.zeros(k4, jnp.uint8)
+            .at[bslot]
+            .set((recv2 & 3).astype(jnp.uint8), mode="drop")
+        )
+        quads = bases_buf.reshape(-1, 4)
+        packed = (
+            quads[:, 0]
+            | (quads[:, 1] << 2)
+            | (quads[:, 2] << 4)
+            | (quads[:, 3] << 6)
+        )
+        ovf = jax.lax.pmax((u_ovf | o1 | o2).astype(jnp.int32), axis) > 0
+        return (
+            packed, lengths_shard, cov_shard, head_words_buf,
+            n_heads[None], ovf,
+        )
+
+    spec_row = P(axis)
+    mapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            spec_row, spec_row, spec_row, spec_row, spec_row,
+            P(axis, None),
+        ),
+        out_specs=(
+            spec_row, spec_row, spec_row, P(axis, None), spec_row, P(),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def spell_sharded_arrays(
+    mesh, k, c_shard, num_unitigs,
+    valid, uid, pos, cov, heads, edge_words,
+    axis=None, u_block: int | None = None,
+):
+    """Range-sort sharded spelling -> UnitigArrays (see make_sharded_spell).
+
+    Host transfer: E/4 bytes of packed bases + O(num_unitigs) per-unitig
+    rows — vs spell_quads_arrays' O(E · ~22 B) per-edge quad gather.
+    Retries with grown caps on a flagged overflow (terminal caps provably
+    suffice, so the loop always lands).
+    """
+    from ..host.simplify_arrays import build_unitig_arrays
+    from ..ops.count_jax import snug_capacity
+    from ..utils.dna import unpack_codes_np
+    from ..utils.jaxenv import to_host
+
+    axis = axis if axis is not None else mesh_axes(mesh)
+    d = axis_size(mesh, axis)
+    k_cap = 2 * c_shard
+    u = int(num_unitigs)
+    w = key_words(k)
+    if u == 0:
+        return build_unitig_arrays(
+            np.empty(0, np.uint8), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty((0, w), np.uint32), k,
+        )
+    u_block = u_block or min(
+        k_cap, snug_capacity(-(-2 * u // d), floor=1 << 10)
+    )
+    route_slack = 2.0
+    while True:
+        spell = make_sharded_spell(
+            mesh, k, c_shard, u_block, axis, route_slack
+        )
+        packed, lengths, covs, head_words, n_heads, ovf = spell(
+            valid, uid, pos, cov, heads, edge_words
+        )
+        if not bool(to_host(ovf)):
+            break
+        if u_block >= k_cap and route_slack >= d:
+            raise RuntimeError(
+                "sharded spell overflow at terminal caps (unreachable by "
+                "construction; see make_sharded_spell)"
+            )
+        u_block = min(k_cap, u_block * 4)
+        route_slack = min(route_slack * 2, d)
+
+    counts = np.asarray(to_host(n_heads))
+    if int(counts.sum()) != u:
+        raise AssertionError(
+            f"spell head counts {int(counts.sum())} != num_unitigs {u}"
+        )
+    lengths_h = np.asarray(to_host(lengths)).reshape(d, u_block)
+    covs_h = np.asarray(to_host(covs)).reshape(d, u_block)
+    hw_h = np.asarray(to_host(head_words)).reshape(d, u_block, w)
+    packed_h = np.asarray(to_host(packed)).reshape(d, -1)
+    lens = np.concatenate(
+        [lengths_h[j, : counts[j]] for j in range(d)]
+    ).astype(np.int64)
+    cov_sum = np.concatenate(
+        [covs_h[j, : counts[j]] for j in range(d)]
+    ).astype(np.int64)
+    head_w = np.concatenate([hw_h[j, : counts[j]] for j in range(d)])
+    total_body = int(lens.sum())
+    # chunk j holds global body positions [j*k_cap, j*k_cap + k_cap)
+    bases = np.concatenate(
+        [
+            unpack_codes_np(
+                packed_h[j],
+                min(k_cap, max(0, total_body - j * k_cap)),
+            )
+            for j in range(d)
+        ]
+    )
+    return build_unitig_arrays(bases, lens, cov_sum, head_w, k)
 
 
 def spell_quads_arrays(
@@ -493,7 +756,7 @@ def spell_quads_arrays(
     traverse stages are shared. No strings are built — array-native
     simplification consumes the packed codes directly.
     """
-    from ..host.simplify_arrays import UnitigArrays
+    from ..host.simplify_arrays import build_unitig_arrays
     from ..utils.jaxenv import to_host
 
     valid = to_host(valid)
@@ -506,12 +769,9 @@ def spell_quads_arrays(
     u = int(num_unitigs)
     w = words.shape[1]
     if u == 0:  # e.g. a coverage filter that dropped every k-mer
-        return UnitigArrays(
-            buf=np.empty(0, dtype=np.uint8),
-            off=np.zeros(1, dtype=np.int64),
-            edges=np.empty(0, dtype=np.int64),
-            cov_sum=np.empty(0, dtype=np.int64),
-            k=k,
+        return build_unitig_arrays(
+            np.empty(0, np.uint8), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty((0, w), np.uint32), k,
         )
 
     order = np.lexsort((pos, uid))
@@ -526,32 +786,7 @@ def spell_quads_arrays(
     cov_sum = cov_cs[bnd] - cov_cs[bnd - lengths]
     head_words = np.zeros((u, w), dtype=np.uint32)
     head_words[uid[heads]] = words[heads]
-
-    str_len = (k - 1) + lengths
-    offsets = np.zeros(u + 1, dtype=np.int64)
-    np.cumsum(str_len, out=offsets[1:])
-    buf = np.empty(int(offsets[-1]), dtype=np.uint8)
-    body_excl = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-    total_body = int(lengths.sum())
-    dest = (
-        np.repeat(offsets[:-1] + (k - 1), lengths)
-        + np.arange(total_body, dtype=np.int64)
-        - np.repeat(body_excl, lengths)
-    )
-    buf[dest] = base_o
-    head_off = offsets[:-1]
-    for j in range(k - 1):
-        bitpos = 2 * (k - 1 - j)
-        widx = w - 1 - bitpos // 32
-        b = (head_words[:, widx] >> np.uint32(bitpos % 32)) & np.uint32(3)
-        buf[head_off + j] = b.astype(np.uint8)
-    return UnitigArrays(
-        buf=buf,
-        off=offsets,
-        edges=lengths,
-        cov_sum=cov_sum,
-        k=k,
-    )
+    return build_unitig_arrays(base_o, lengths, cov_sum, head_words, k)
 
 
 def spell_quads_host(

@@ -654,7 +654,11 @@ def assemble_distributed_sharded(
     from ..models.pipeline import auto_min_count
     from ..ops.count_jax import snug_capacity
     from ..utils.metrics import Metrics
-    from .compress import make_sharded_compress, spell_quads_arrays
+    from .compress import (
+        make_sharded_compress,
+        spell_quads_arrays,
+        spell_sharded_arrays,
+    )
     from .mesh import axis_size, build_mesh, mesh_axes, num_hosts
 
     if cfg.k % 2 == 0:
@@ -722,10 +726,19 @@ def assemble_distributed_sharded(
                 "sharded compression routing overflow; increase slack caps"
             )
     with m.stage("spell"):
-        ua = spell_quads_arrays(
-            valid, uid, pos, cov, last_base, heads, edge_words,
-            int(to_host(num_unitigs)[0]), cfg.k,
-        )
+        if os.environ.get("GA_SPELL_QUADS") == "1":
+            # gathered-quads fallback (O(E) host pull; debug/comparison)
+            ua = spell_quads_arrays(
+                valid, uid, pos, cov, last_base, heads, edge_words,
+                int(to_host(num_unitigs)[0]), cfg.k,
+            )
+        else:
+            # range-sort spelling: the host pulls E/4 bytes of packed
+            # bases + O(U) per-unitig rows (parallel.compress)
+            ua = spell_sharded_arrays(
+                mesh, cfg.k, c_shard, int(to_host(num_unitigs)[0]),
+                valid, uid, pos, cov, heads, edge_words, axis,
+            )
     with m.stage("simplify"):
         graph = simplify_arrays_to_graph(
             ua, cfg.resolved_tip_len, cfg.resolved_bubble_len, min_count
