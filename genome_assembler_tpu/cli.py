@@ -217,9 +217,16 @@ def cmd_assemble(args) -> int:
 
         if not isinstance(reads, np.ndarray):
             raise SystemExit("--backend dist requires uniform-length reads")
-        init_distributed()  # multi-process launch when GA_DIST=1
+        multiproc = init_distributed()  # multi-process launch (GA_DIST=1)
         metrics = Metrics()
-        mesh = build_mesh(args.devices, hosts=args.hosts)
+        hosts = args.hosts
+        if multiproc and hosts is None:
+            import jax
+
+            # pod default: one 'host' mesh row per process, so XLA routes
+            # cross-host collectives over DCN and intra-host over ICI
+            hosts = jax.process_count()
+        mesh = build_mesh(args.devices, hosts=hosts)
         if args.sharded_graph:
             from .parallel.pipeline import assemble_distributed_sharded
 

@@ -10,11 +10,17 @@ collectives — no hand-written transport. Two mesh shapes:
     same code executes on both shapes.
 
 Multi-host launch is a config change, not a code change
-(``init_distributed``): run the identical command on every host with
-GA_DIST=1 (plus the standard JAX coordinator env vars when not on a
-TPU pod, which auto-detects), e.g.
+(``init_distributed``): run the identical command — with the SAME global
+reads file; every stage stages inputs via jax.device_put onto global
+shardings, which transfers only each process's addressable shards — on
+every host with GA_DIST=1 (plus the standard JAX coordinator env vars
+when not on a TPU pod, which auto-detects), e.g.
 
-    GA_DIST=1 ga-tpu assemble --backend dist --hosts 4 --reads ...
+    GA_DIST=1 ga-tpu assemble --backend dist --reads reads.txt ...
+
+Validated end-to-end by tests/test_multiprocess.py: two coordinated
+processes x N CPU devices each run the full dist pipeline (gloo
+cross-process collectives) and reproduce the oracle contigs.
 
 Tests exercise both shapes on a forced multi-device CPU platform
 (``--xla_force_host_platform_device_count``), per SURVEY.md §4.
@@ -42,6 +48,13 @@ def init_distributed() -> bool:
     if os.environ.get("GA_DIST") != "1":
         return False
     if not _DIST_INITIALIZED:
+        try:
+            # Cross-process collectives on the CPU backend need gloo (TPU
+            # pods ignore this knob); must be set before the backend
+            # initializes. Validated end-to-end by tests/test_multiprocess.
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # pragma: no cover - option renamed/absent
+            pass
         kwargs = {}
         if os.environ.get("GA_COORD_ADDR"):
             kwargs = dict(

@@ -35,6 +35,14 @@ def setup(platform: str | None = None) -> None:
     elif platform == "tpu":
         jax.config.update("jax_platforms", "axon,cpu")
 
+    # Multi-process launches must initialize jax.distributed before ANY
+    # backend touch (jax.devices/device_put), so the pod wiring lives at
+    # the same chokepoint as the platform choice. Idempotent; no-op
+    # unless GA_DIST=1.
+    from ..parallel.mesh import init_distributed
+
+    init_distributed()
+
 
 def sync(x) -> None:
     """Force completion of the program that produced ``x``.
