@@ -106,6 +106,38 @@ def _merge_step(table, batch_table):
 
 @functools.partial(
     jax.jit,
+    static_argnames=("k", "use_pallas", "read_len"),
+    donate_argnums=(0,),
+)
+def _extract_append(
+    pending, reads, k, n_valid, slot, use_pallas=False, read_len=None,
+    inv_mask=None,
+):
+    """Extraction-only streaming step: the batch's canonical key stream
+    lands in slot ``slot`` of the carried pending buffer (donated, so the
+    write is in place and XLA fuses extraction straight into it).
+
+    Deferring the table merge until GA_MERGE_STRIDE batches are pending
+    pays the two cap-row merge sorts 1/stride as often:
+    rows(stride) = 2*(windows + (nb/stride)*cap) — see _merge_pending and
+    tools/probe_merge_cadence.py for the measured tradeoff.
+    """
+    keys = _extract_keys(reads, k, n_valid, use_pallas, read_len, inv_mask)
+    return jax.lax.dynamic_update_slice(
+        pending, keys, (slot * keys.shape[0], jnp.int32(0))
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _merge_pending(table, pending):
+    """Weighted-merge a pending raw key stream into the running table
+    (sentinel rows — invalid windows, read padding, an unfilled tail
+    slice — are excluded by the segment reduce)."""
+    return count_jax.merge_raw_keys(table, pending)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "use_pallas", "read_len", "merge_raw", "out_cap"),
     donate_argnums=(0,),
 )
@@ -230,6 +262,11 @@ def count_reads_device(
         )
 
     starts = list(range(0, padded, batch))
+    stride = int(os.environ.get("GA_MERGE_STRIDE", "1"))
+    if stride > 1 and len(starts) > 1:
+        return _stream_strided(
+            table, reads, cfg, starts, upload, stride, use_pallas, length
+        )
     pending = upload(starts[0])
     for i, start in enumerate(starts):
         chunk_dev, bm_dev = pending
@@ -242,6 +279,45 @@ def count_reads_device(
             merge_raw=True,
             out_cap=capacity,
         )
+    return table
+
+
+def _stream_strided(
+    table, reads, cfg, starts, upload, stride, use_pallas, length
+):
+    """Streaming with deferred merges: extraction appends raw keys to a
+    device pending buffer; the two cap-row merge sorts run once per
+    ``stride`` batches instead of every batch (GA_MERGE_STRIDE).
+
+    Bit-identical to stride=1 (merge_raw_keys is associative over key
+    streams and ignores sentinel rows; tested). The tail flush slices the
+    filled prefix, so stale keys from a previous merge round are never
+    re-merged.
+    """
+    from ..ops.kmer_jax import SENTINEL
+
+    b = reads.shape[0]
+    batch = cfg.batch_reads
+    bw = batch * (length - cfg.k + 1)
+    w = key_words(cfg.k)
+    pending_buf = jnp.full((stride * bw, w), SENTINEL, dtype=jnp.uint32)
+    slot = 0
+    pending = upload(starts[0])
+    for i, start in enumerate(starts):
+        chunk_dev, bm_dev = pending
+        if i + 1 < len(starts):
+            pending = upload(starts[i + 1])
+        n_valid = np.int32(min(max(b - start, 0), batch))
+        pending_buf = _extract_append(
+            pending_buf, chunk_dev, cfg.k, n_valid, np.int32(slot),
+            use_pallas, read_len=length, inv_mask=bm_dev,
+        )
+        slot += 1
+        if slot == stride:
+            table = _merge_pending(table, pending_buf)
+            slot = 0
+    if slot:
+        table = _merge_pending(table, pending_buf[: slot * bw])
     return table
 
 

@@ -1,0 +1,69 @@
+"""Deferred-merge streaming (GA_MERGE_STRIDE): extraction appends raw
+canonical keys to a device pending buffer and the table merge runs once
+per stride batches. Must be bit-identical to the per-batch merge
+(stride=1) and to the host oracle for every tail shape, including
+partial final batches, partial final strides, and N-masked windows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from genome_assembler_tpu.models.oracle import count_canonical_dict
+from genome_assembler_tpu.models.pipeline import (
+    count_reads_device,
+    table_to_host_counts,
+)
+from genome_assembler_tpu.utils.config import AssemblyConfig
+from genome_assembler_tpu.utils.simulate import simulate_genome, simulate_reads
+
+
+def _counts(reads, cfg, monkeypatch, stride, cap):
+    monkeypatch.setenv("GA_MERGE_STRIDE", str(stride))
+    table = count_reads_device(reads, cfg, table_capacity=cap)
+    return table_to_host_counts(table, cfg.k)
+
+
+# n_reads chosen so batches-of-50 leave: an exact stride (300), a
+# partial final stride (350: 7 batches = 2*3 + 1), and a partial final
+# batch + partial stride (427).
+@pytest.mark.parametrize("n_reads", [300, 350, 427])
+def test_strided_equals_per_batch(monkeypatch, n_reads):
+    genome = simulate_genome(3000, seed=91)
+    rs = simulate_reads(genome, coverage=20, read_len=60, seed=92)
+    reads = rs.codes[:n_reads]
+    cfg = AssemblyConfig(k=21, read_len=60, batch_reads=50)
+    cap = 1 << 13
+
+    base = _counts(reads, cfg, monkeypatch, 1, cap)
+    strided = _counts(reads, cfg, monkeypatch, 3, cap)
+    assert strided == base
+    assert strided == count_canonical_dict(reads, cfg.k)
+
+
+def test_strided_with_n_bases(monkeypatch):
+    genome = simulate_genome(2000, seed=93)
+    rs = simulate_reads(genome, coverage=15, read_len=60, seed=94)
+    reads = rs.codes.copy()
+    # sprinkle ambiguous bases (code 4) over ~1% of positions
+    rng = np.random.default_rng(5)
+    bad = rng.random(reads.shape) < 0.01
+    reads[bad] = 4
+    cfg = AssemblyConfig(k=21, read_len=60, batch_reads=64)
+    cap = 1 << 13
+
+    base = _counts(reads, cfg, monkeypatch, 1, cap)
+    strided = _counts(reads, cfg, monkeypatch, 2, cap)
+    assert strided == base
+    assert strided == count_canonical_dict(reads, cfg.k)
+
+
+def test_strided_overflow_flagged(monkeypatch):
+    genome = simulate_genome(3000, seed=95)
+    rs = simulate_reads(genome, coverage=10, read_len=60, seed=96)
+    cfg = AssemblyConfig(k=21, read_len=60, batch_reads=50)
+    monkeypatch.setenv("GA_MERGE_STRIDE", "3")
+    table = count_reads_device(rs.codes, cfg, table_capacity=128)
+    with pytest.raises(RuntimeError, match="overflow"):
+        table_to_host_counts(table, cfg.k)
