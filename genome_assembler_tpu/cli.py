@@ -149,6 +149,10 @@ def _graph_outputs(args, graph) -> tuple[list[str], list[float]]:
 def cmd_assemble(args) -> int:
     from .models.oracle import assemble_oracle
 
+    if getattr(args, "merge_stride", None):
+        import os
+
+        os.environ["GA_MERGE_STRIDE"] = str(args.merge_stride)
     if args.backend != "oracle":
         from .utils.jaxenv import setup
 
@@ -350,6 +354,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reads per device batch for the streaming counter "
                     "(default 262144 — larger fused batches measured slower "
                     "on this backend; see RESULTS.md sizing rules)")
+    pa.add_argument("--merge-stride", type=int, default=None,
+                    help="streaming counter merge cadence: extraction "
+                    "appends this many batches of raw keys to a device "
+                    "pending buffer before each table merge (tpu backend; "
+                    "equivalent to GA_MERGE_STRIDE, bit-identical for any "
+                    "value)")
     pa.add_argument("--checkpoint", default=None,
                     help="save the counted k-mer table (.npz) here")
     pa.add_argument("--resume-from", default=None,

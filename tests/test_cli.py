@@ -109,3 +109,19 @@ def test_ragged_reads_tpu_backend(tmp_path):
     assert main(base + ["--out", str(out_o)]) == 0
     assert main(base + ["--backend", "tpu", "--out", str(out_t)]) == 0
     assert read_sequences(str(out_t)) == read_sequences(str(out_o))
+
+
+def test_merge_stride_flag(sim_files, tmp_path, monkeypatch):
+    """--merge-stride N (deferred-merge streaming) is bit-identical to the
+    default per-batch merge, driven through the real CLI path."""
+    monkeypatch.delenv("GA_MERGE_STRIDE", raising=False)
+    reads, genome = sim_files
+    base = ["assemble", "--reads", reads, "-k", "25", "--backend", "tpu",
+            "--batch-reads", "256", "--table-capacity", "8192"]
+    out1 = str(tmp_path / "c1.fa")
+    out2 = str(tmp_path / "c2.fa")
+    assert main(base + ["--out", out1]) == 0
+    assert main(base + ["--out", out2, "--merge-stride", "2"]) == 0
+    monkeypatch.delenv("GA_MERGE_STRIDE", raising=False)
+    assert read_sequences(out1) == read_sequences(out2)
+    assert contigs_equal(read_sequences(out1), read_sequences(genome))
