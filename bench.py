@@ -34,6 +34,19 @@ def main() -> int:
 
     setup()
 
+    # If the tunneled axon backend is down (observed: ~20 min init hang
+    # then UNAVAILABLE), fall back to CPU so the driver still records a
+    # real measurement — detail.backend reports what actually ran. The
+    # probe must run before any module-level jnp constant (e.g.
+    # kmer_jax.SENTINEL) triggers backend init inside the imports below.
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        print(f"# axon backend unavailable ({e}); falling back to cpu",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
     import numpy as np
 
     from genome_assembler_tpu.models.oracle import count_canonical_dict
