@@ -67,3 +67,36 @@ def test_strided_overflow_flagged(monkeypatch):
     table = count_reads_device(rs.codes, cfg, table_capacity=128)
     with pytest.raises(RuntimeError, match="overflow"):
         table_to_host_counts(table, cfg.k)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    stride=st.integers(min_value=2, max_value=5),
+    n_reads=st.integers(min_value=1, max_value=90),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_strided_property(stride, n_reads, seed):
+    """Any (stride, read count, content) combination counts identically to
+    the host dict counter — covers every batch/stride tail alignment."""
+    rng = np.random.default_rng(seed)
+    reads = rng.integers(0, 4, size=(n_reads, 30), dtype=np.uint8)
+    # ~2% ambiguous bases
+    reads[rng.random(reads.shape) < 0.02] = 4
+    cfg = AssemblyConfig(k=11, read_len=30, batch_reads=16)
+    import os
+
+    old = os.environ.get("GA_MERGE_STRIDE")
+    os.environ["GA_MERGE_STRIDE"] = str(stride)
+    try:
+        table = count_reads_device(reads, cfg, table_capacity=1 << 12)
+        got = table_to_host_counts(table, cfg.k)
+    finally:
+        if old is None:
+            os.environ.pop("GA_MERGE_STRIDE", None)
+        else:
+            os.environ["GA_MERGE_STRIDE"] = old
+    assert got == count_canonical_dict(reads, cfg.k)
