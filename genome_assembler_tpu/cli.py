@@ -149,10 +149,8 @@ def _graph_outputs(args, graph) -> tuple[list[str], list[float]]:
 def cmd_assemble(args) -> int:
     from .models.oracle import assemble_oracle
 
-    if getattr(args, "merge_stride", None):
-        import os
-
-        os.environ["GA_MERGE_STRIDE"] = str(args.merge_stride)
+    if getattr(args, "merge_stride", None) is not None and args.merge_stride < 1:
+        raise SystemExit("--merge-stride must be >= 1")
     if args.backend != "oracle":
         from .utils.jaxenv import setup
 
@@ -265,6 +263,7 @@ def cmd_assemble(args) -> int:
             table_capacity=args.table_capacity,
             return_graph=True,
             emit=args.emit,
+            merge_stride=args.merge_stride,
         )
         contigs, coverages = _graph_outputs(args, graph)
     dt = time.perf_counter() - t0

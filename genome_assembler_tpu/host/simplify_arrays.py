@@ -130,12 +130,16 @@ def build_unitig_arrays(
             d = int(body_start[i])
             buf[d : d + ln] = bases[s : s + ln]
     else:
-        # many short unitigs: one int32 fancy scatter (buf is < 2^31
-        # bytes by the edge-table bound, so 32-bit indices always fit
-        # and halve the index-build traffic vs int64)
+        # many short unitigs: one fancy scatter. int32 indices halve the
+        # index-build traffic, but buf = total_body + U*(k-1) bytes can
+        # exceed 2^31 on a fragmented graph (the edge-table bound caps
+        # only total_body), so the dtype follows the buffer size.
+        idx_dt = (
+            np.int32 if offsets[-1] <= np.iinfo(np.int32).max else np.int64
+        )
         dest = np.repeat(
-            (body_start - body_excl).astype(np.int32), lengths
-        ) + np.arange(total_body, dtype=np.int32)
+            (body_start - body_excl).astype(idx_dt), lengths
+        ) + np.arange(total_body, dtype=idx_dt)
         buf[dest] = bases[:total_body]
     # heads: first k-1 bases decoded from each unitig's head edge k-mer
     head_off = offsets[:-1]

@@ -117,10 +117,10 @@ def _extract_append(
     lands in slot ``slot`` of the carried pending buffer (donated, so the
     write is in place and XLA fuses extraction straight into it).
 
-    Deferring the table merge until GA_MERGE_STRIDE batches are pending
+    Deferring the table merge until merge_stride batches are pending
     pays the two cap-row merge sorts 1/stride as often:
     rows(stride) = 2*(windows + (nb/stride)*cap) — see _merge_pending and
-    tools/probe_merge_cadence.py for the measured tradeoff.
+    tools/measure_stride_cfg2.py for the measured tradeoff.
     """
     keys = _extract_keys(reads, k, n_valid, use_pallas, read_len, inv_mask)
     return jax.lax.dynamic_update_slice(
@@ -184,11 +184,17 @@ def count_reads_device(
     *,
     table_capacity: int | None = None,
     use_pallas: bool = False,
+    merge_stride: int | None = None,
 ) -> count_jax.CountTable:
     """Count canonical k-mers of [B, L] reads on the device.
 
     table_capacity: unique-k-mer capacity for the streaming table; defaults
     to the total window count (always sufficient, single-shot when small).
+
+    merge_stride: streaming merge cadence — extraction appends this many
+    batches of raw keys to a device pending buffer before each table
+    merge (bit-identical for any value; GA_MERGE_STRIDE is the env
+    fallback, default 1 = merge every batch).
     """
     reads = np.ascontiguousarray(reads, dtype=np.uint8)
     b, length = reads.shape
@@ -262,61 +268,48 @@ def count_reads_device(
         )
 
     starts = list(range(0, padded, batch))
-    stride = int(os.environ.get("GA_MERGE_STRIDE", "1"))
-    if stride > 1 and len(starts) > 1:
-        return _stream_strided(
-            table, reads, cfg, starts, upload, stride, use_pallas, length
+    stride = merge_stride or int(os.environ.get("GA_MERGE_STRIDE", "1"))
+    strided = stride > 1 and len(starts) > 1
+    if strided:
+        # Deferred merges: extraction appends raw keys to a device pending
+        # buffer; the two cap-row merge sorts run once per ``stride``
+        # batches. Bit-identical to stride=1 (merge_raw_keys is
+        # associative over key streams and ignores sentinel rows; tested).
+        # The tail flush slices the filled prefix, so stale keys from a
+        # previous merge round are never re-merged.
+        from ..ops.kmer_jax import SENTINEL
+
+        bw = batch * (length - cfg.k + 1)
+        pending_buf = jnp.full(
+            (stride * bw, key_words(cfg.k)), SENTINEL, dtype=jnp.uint32
         )
-    pending = upload(starts[0])
+        slot = 0
+    pending_io = upload(starts[0])
     for i, start in enumerate(starts):
-        chunk_dev, bm_dev = pending
+        chunk_dev, bm_dev = pending_io
         if i + 1 < len(starts):
-            pending = upload(starts[i + 1])
+            pending_io = upload(starts[i + 1])
+        # b is the pre-padding read count captured above: with use_pallas
+        # the reads array itself was padded to a 256-row multiple, so
+        # reads.shape[0] would overcount the valid rows
         n_valid = np.int32(min(max(b - start, 0), batch))
-        table = _stream_step(
-            table, chunk_dev, cfg.k, n_valid, use_pallas,
-            read_len=length, inv_mask=bm_dev,
-            merge_raw=True,
-            out_cap=capacity,
-        )
-    return table
-
-
-def _stream_strided(
-    table, reads, cfg, starts, upload, stride, use_pallas, length
-):
-    """Streaming with deferred merges: extraction appends raw keys to a
-    device pending buffer; the two cap-row merge sorts run once per
-    ``stride`` batches instead of every batch (GA_MERGE_STRIDE).
-
-    Bit-identical to stride=1 (merge_raw_keys is associative over key
-    streams and ignores sentinel rows; tested). The tail flush slices the
-    filled prefix, so stale keys from a previous merge round are never
-    re-merged.
-    """
-    from ..ops.kmer_jax import SENTINEL
-
-    b = reads.shape[0]
-    batch = cfg.batch_reads
-    bw = batch * (length - cfg.k + 1)
-    w = key_words(cfg.k)
-    pending_buf = jnp.full((stride * bw, w), SENTINEL, dtype=jnp.uint32)
-    slot = 0
-    pending = upload(starts[0])
-    for i, start in enumerate(starts):
-        chunk_dev, bm_dev = pending
-        if i + 1 < len(starts):
-            pending = upload(starts[i + 1])
-        n_valid = np.int32(min(max(b - start, 0), batch))
-        pending_buf = _extract_append(
-            pending_buf, chunk_dev, cfg.k, n_valid, np.int32(slot),
-            use_pallas, read_len=length, inv_mask=bm_dev,
-        )
-        slot += 1
-        if slot == stride:
-            table = _merge_pending(table, pending_buf)
-            slot = 0
-    if slot:
+        if strided:
+            pending_buf = _extract_append(
+                pending_buf, chunk_dev, cfg.k, n_valid, np.int32(slot),
+                use_pallas, read_len=length, inv_mask=bm_dev,
+            )
+            slot += 1
+            if slot == stride:
+                table = _merge_pending(table, pending_buf)
+                slot = 0
+        else:
+            table = _stream_step(
+                table, chunk_dev, cfg.k, n_valid, use_pallas,
+                read_len=length, inv_mask=bm_dev,
+                merge_raw=True,
+                out_cap=capacity,
+            )
+    if strided and slot:
         table = _merge_pending(table, pending_buf[: slot * bw])
     return table
 
@@ -414,6 +407,7 @@ def assemble_tpu(
     resume_from: str | None = None,
     return_graph: bool = False,
     emit: str = "unitigs",
+    merge_stride: int | None = None,
 ) -> list[str] | tuple[list[str], "object"]:
     """End-to-end single-device assembly: reads -> canonical contigs.
 
@@ -454,6 +448,7 @@ def assemble_tpu(
                 cfg,
                 table_capacity=table_capacity,
                 use_pallas=use_pallas,
+                merge_stride=merge_stride,
             )
             sync(table.num_unique)
         m.count(

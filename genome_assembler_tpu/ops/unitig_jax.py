@@ -391,6 +391,14 @@ def _rank_sampled(prev: jax.Array):
         cbody,
         (jnp.int32(0), jnp.stack([a0, d0], axis=1), jnp.bool_(True)),
     )
+    # Wrap-free cycle check: a finished contracted lane's ancestor is a
+    # real head — a non-ruler, or a ruler with no predecessor. A ruler
+    # ancestor that still has a predecessor means a cycle threading the
+    # rulers. changed_b alone can miss this: cdist is int32, and on a
+    # cycle whose physical length L satisfies v2(L) >= 32 - csteps the
+    # doubled distance wraps to 0, so the state reads falsely stable.
+    fa = cstate[:, 0]
+    cycle_b = jnp.any(((fa % s) == 0) & (prev[fa] >= 0))
 
     # C: every lane combines its phase-A stop with that stop's
     # contracted rank — one full-size [E] gather of packed [n_r, 2] rows.
@@ -398,7 +406,7 @@ def _rank_sampled(prev: jax.Array):
     g = cstate[jnp.where(is_r_a, anc // s, 0)]
     head = jnp.where(is_r_a, g[:, 0], anc)
     rank = jnp.where(is_r_a, dist + g[:, 1], dist)
-    return head, rank, ~changed_a & ~changed_b
+    return head, rank, ~changed_a & ~changed_b & ~cycle_b
 
 
 def _resolve_chains(prev: jax.Array, valid: jax.Array):

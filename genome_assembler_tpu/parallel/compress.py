@@ -349,6 +349,7 @@ def make_sharded_compress(
         cstate_local = jnp.stack([a0, d0], axis=1)
         # replicate the contracted list; rank it locally on every device
         cstate = jax.lax.all_gather(cstate_local, axis).reshape(-1, 2)
+        cstate0 = cstate  # pre-loop state: d0 == 0 iff contracted head
         n_c = cstate.shape[0]
         csteps = max(1, int(math.ceil(math.log2(max(n_c, 2)))) + 1)
 
@@ -375,12 +376,23 @@ def make_sharded_compress(
             cbody,
             (jnp.int32(0), cstate, jnp.asarray(True)),
         )
+        # Wrap-free cycle check (mirrors ops.unitig_jax._rank_sampled): a
+        # finished lane's final ancestor is a non-ruler real head or a
+        # contracted head (initial distance 0 ⇔ no predecessor). A ruler
+        # ancestor that is not a contracted head means a cycle threading
+        # the rulers — changed_b alone can miss it when the int32 doubled
+        # distance wraps to 0 (cycle length divisible by a large power of
+        # two). cstate0 is replicated, so the check costs no communication.
+        fa = cstate[:, 0]
+        fa_is_ruler = (fa % s_stride) == 0
+        anc_is_chead = cstate0[jnp.where(fa_is_ruler, crow_of(fa), 0), 1] == 0
+        cycle_b = jnp.any(fa_is_ruler & ~anc_is_chead)
 
         is_r_a = (anc % s_stride) == 0
         g = cstate[jnp.where(is_r_a, crow_of(anc), 0)]
         head = jnp.where(is_r_a, g[:, 0], anc)
         rank = jnp.where(is_r_a, dist + g[:, 1], dist)
-        ok = ~changed_a & ~changed_b
+        ok = ~changed_a & ~changed_b & ~cycle_b
         return head, rank, ok, o_a | o_b
 
     def step(words_sh, counts_sh):

@@ -100,3 +100,41 @@ def test_strided_property(stride, n_reads, seed):
         else:
             os.environ["GA_MERGE_STRIDE"] = old
     assert got == count_canonical_dict(reads, cfg.k)
+
+
+def test_strided_pallas_padding_rows_masked(monkeypatch):
+    """Pallas pads the read array to a 256-row multiple before streaming;
+    the strided path must compute per-batch validity from the ORIGINAL
+    read count, not the padded array (regression: padded zero-rows were
+    counted as poly-A k-mers when use_pallas and stride > 1)."""
+    genome = simulate_genome(2000, seed=97)
+    rs = simulate_reads(genome, coverage=30, read_len=60, seed=98)
+    reads = rs.codes[:600]  # pads to 768 rows for the pallas tiles
+    cfg = AssemblyConfig(k=21, read_len=60, batch_reads=256)
+    monkeypatch.setenv("GA_MERGE_STRIDE", "2")
+    table = count_reads_device(
+        reads, cfg, table_capacity=1 << 14, use_pallas=True
+    )
+    assert table_to_host_counts(table, cfg.k) == count_canonical_dict(
+        reads, cfg.k
+    )
+
+
+def test_merge_stride_param_overrides_env(monkeypatch):
+    """The explicit merge_stride argument wins over GA_MERGE_STRIDE and
+    is bit-identical to the default cadence."""
+    genome = simulate_genome(2500, seed=99)
+    rs = simulate_reads(genome, coverage=15, read_len=60, seed=100)
+    cfg = AssemblyConfig(k=21, read_len=60, batch_reads=64)
+    monkeypatch.delenv("GA_MERGE_STRIDE", raising=False)
+    base = table_to_host_counts(
+        count_reads_device(rs.codes, cfg, table_capacity=1 << 13), cfg.k
+    )
+    monkeypatch.setenv("GA_MERGE_STRIDE", "1")
+    got = table_to_host_counts(
+        count_reads_device(
+            rs.codes, cfg, table_capacity=1 << 13, merge_stride=4
+        ),
+        cfg.k,
+    )
+    assert got == base == count_canonical_dict(rs.codes, cfg.k)
