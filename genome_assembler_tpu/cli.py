@@ -237,6 +237,7 @@ def cmd_assemble(args) -> int:
                 checkpoint=args.checkpoint, resume_from=args.resume_from,
                 return_graph=True, minimizer_len=args.minimizer_len,
                 table_capacity=args.table_capacity,
+                merge_stride=args.merge_stride,
             )
         else:
             contigs, graph = assemble_distributed(
@@ -244,6 +245,7 @@ def cmd_assemble(args) -> int:
                 checkpoint=args.checkpoint, resume_from=args.resume_from,
                 return_graph=True, minimizer_len=args.minimizer_len,
                 table_capacity=args.table_capacity,
+                merge_stride=args.merge_stride,
             )
         contigs, coverages = _graph_outputs(args, graph)
     else:  # tpu
@@ -354,11 +356,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "(default 262144 — larger fused batches measured slower "
                     "on this backend; see RESULTS.md sizing rules)")
     pa.add_argument("--merge-stride", type=int, default=None,
-                    help="streaming counter merge cadence: extraction "
-                    "appends this many batches of raw keys to a device "
-                    "pending buffer before each table merge (tpu backend; "
-                    "equivalent to GA_MERGE_STRIDE, bit-identical for any "
-                    "value)")
+                    help="streaming counter merge cadence: extraction/"
+                    "routing appends this many batches of raw keys to a "
+                    "device pending buffer before each table merge (tpu "
+                    "and dist backends; GA_MERGE_STRIDE is the env "
+                    "fallback; bit-identical for any value)")
     pa.add_argument("--checkpoint", default=None,
                     help="save the counted k-mer table (.npz) here")
     pa.add_argument("--resume-from", default=None,

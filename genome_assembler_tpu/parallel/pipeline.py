@@ -329,6 +329,104 @@ def make_distributed_stream_count(
     return step
 
 
+def _recv_rows(d: int, k: int, read_len: int, batch_per_device: int,
+               bucket_cap: int, minimizer_len: int | None) -> int:
+    """Rows of the per-shard key stream one _make_owned_keys call emits
+    (the pending-buffer slot size for deferred-merge streaming)."""
+    if minimizer_len is not None:
+        from ..ops.superkmer import RUN_CAP
+
+        return d * bucket_cap * RUN_CAP
+    if d == 1:
+        return batch_per_device * (read_len - k + 1)
+    return d * bucket_cap
+
+
+def make_distributed_stream_append(
+    mesh: Mesh, k: int, batch_per_device: int, read_len: int,
+    bucket_cap: int, axis="d", with_mask: bool = False,
+    minimizer_len: int | None = None,
+):
+    """Routing-only streaming step for the deferred-merge cadence (the
+    distributed mirror of models.pipeline._extract_append): one fused
+    dispatch routes a read batch to its hash owners and lands the
+    received raw keys in slot ``slot`` of a carried per-shard pending
+    buffer (donated, in-place). The two cap-row merge sorts then run
+    once per merge_stride batches (make_distributed_pending_merge)
+    instead of every batch — bit-identical, merge_raw_keys is
+    associative over key streams and ignores sentinel lanes.
+
+    Returns fn(pending [D*S*R, W], ovf [D], reads [D, B, L/4] packed,
+               n_valid [D], slot scalar i32[, inv_mask])
+      -> (pending updated, ovf | routing overflow).
+    """
+    import functools
+
+    from .mesh import axis_size
+
+    d = axis_size(mesh, axis)
+    owned = _make_owned_keys(d, k, read_len, bucket_cap, axis, minimizer_len)
+
+    def local_append(pend, tov, reads, n_valid, slot, inv_mask=None):
+        keys, route_ovf = owned(reads, n_valid, inv_mask)
+        pend2 = jax.lax.dynamic_update_slice(
+            pend, keys, (slot * keys.shape[0], jnp.int32(0))
+        )
+        return pend2, (tov[0] | route_ovf)[None]
+
+    in_specs = (
+        P(axis, None), P(axis),
+        P(axis, None, None), P(axis), P(),
+    )
+    if with_mask:
+        in_specs = in_specs + (P(axis, None, None),)
+    mapped = shard_map(
+        local_append,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(axis, None), P(axis)),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(pend, ovf, reads, n_valid, slot, inv_mask=None):
+        if with_mask:
+            return mapped(pend, ovf, reads, n_valid, slot, inv_mask)
+        return mapped(pend, ovf, reads, n_valid, slot)
+
+    return step
+
+
+def make_distributed_pending_merge(mesh: Mesh, rows: int, axis="d"):
+    """Merge the first ``rows`` rows of each shard's pending key buffer
+    into the carried table shards. Tail flushes pass rows < the full
+    buffer so stale keys from a previous merge round are never
+    re-merged. Table quadruple donated; the pending buffer is not (it is
+    reused by the next append round)."""
+    import functools
+
+    def local_merge(tw, tc, tn, tov, pend):
+        table = count_jax.CountTable(
+            words=tw, counts=tc, num_unique=tn[0], overflow=tov[0]
+        )
+        merged = count_jax.merge_raw_keys(table, pend[:rows])
+        return (
+            merged.words,
+            merged.counts,
+            merged.num_unique[None],
+            merged.overflow[None],
+        )
+
+    mapped = shard_map(
+        local_merge,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(axis), P(axis, None)),
+        out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1, 2, 3))
+
+
 # Above this many windows per device, the distributed counter streams
 # read batches into carried table shards instead of running one fused
 # step over the whole read set (whose compile time scales with shape and
@@ -352,7 +450,7 @@ def _bucket_cap_for(windows: int, d: int, k: int,
 def _run_distributed_stream(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh,
     bucket_cap: int | None, axis, minimizer_len: int | None,
-    table_capacity: int | None,
+    table_capacity: int | None, merge_stride: int | None = None,
 ):
     """Streamed counterpart of _run_distributed_step: batches of
     cfg.batch_reads global reads stream through
@@ -362,6 +460,11 @@ def _run_distributed_stream(
     single-device streaming path); each shard gets capacity/d with hash
     -skew slack, snapped to the snug grid. Overflow (bucket or shard
     table) raises after the last batch — flagged, never silent.
+
+    merge_stride > 1 (GA_MERGE_STRIDE is the env fallback) defers the
+    per-shard table merge: routing-only steps append raw keys to a
+    pending buffer and the two cap-row merge sorts run once per stride
+    batches (bit-identical; see models.pipeline.count_reads_device).
     """
     from ..ops.count_jax import snug_capacity
     from ..utils.dna import has_ambiguous, pack_invalid_mask
@@ -381,12 +484,32 @@ def _run_distributed_stream(
         bucket_cap = _bucket_cap_for(per_dev * wc, d, cfg.k, minimizer_len)
 
     any_invalid = has_ambiguous(reads)
-    step = make_distributed_stream_count(
-        mesh, cfg.k, per_dev, length, bucket_cap, axis,
-        with_mask=any_invalid, minimizer_len=minimizer_len,
-    )
+    stride = merge_stride or int(os.environ.get("GA_MERGE_STRIDE", "1"))
+    strided = stride > 1 and nb > 1
     row_sharding = NamedSharding(mesh, P(axis))
     sharding3 = NamedSharding(mesh, P(axis, None, None))
+    if strided:
+        recv = _recv_rows(d, cfg.k, length, per_dev, bucket_cap,
+                          minimizer_len)
+        append = make_distributed_stream_append(
+            mesh, cfg.k, per_dev, length, bucket_cap, axis,
+            with_mask=any_invalid, minimizer_len=minimizer_len,
+        )
+        merge_full = make_distributed_pending_merge(
+            mesh, stride * recv, axis
+        )
+        from ..ops.kmer_jax import SENTINEL
+
+        pend = jax.device_put(
+            np.full((d * stride * recv, w), int(SENTINEL), dtype=np.uint32),
+            NamedSharding(mesh, P(axis, None)),
+        )
+        slot = 0
+    else:
+        step = make_distributed_stream_count(
+            mesh, cfg.k, per_dev, length, bucket_cap, axis,
+            with_mask=any_invalid, minimizer_len=minimizer_len,
+        )
     words = jax.device_put(
         np.full((d * c_shard, w), 0xFFFFFFFF, dtype=np.uint32),
         NamedSharding(mesh, P(axis, None)),
@@ -429,7 +552,18 @@ def _run_distributed_stream(
         reads_dev, nv_dev, mask_dev = pending
         if i + 1 < nb:
             pending = upload(i + 1)  # DMA rides under batch i's compute
-        if any_invalid:
+        if strided:
+            args = (pend, ovf, reads_dev, nv_dev, jnp.int32(slot))
+            if any_invalid:
+                args = args + (mask_dev,)
+            pend, ovf = append(*args)
+            slot += 1
+            if slot == stride:
+                words, counts, num, ovf = merge_full(
+                    words, counts, num, ovf, pend
+                )
+                slot = 0
+        elif any_invalid:
             words, counts, num, ovf = step(
                 words, counts, num, ovf, reads_dev, nv_dev, mask_dev
             )
@@ -437,6 +571,9 @@ def _run_distributed_stream(
             words, counts, num, ovf = step(
                 words, counts, num, ovf, reads_dev, nv_dev
             )
+    if strided and slot:
+        merge_tail = make_distributed_pending_merge(mesh, slot * recv, axis)
+        words, counts, num, ovf = merge_tail(words, counts, num, ovf, pend)
     if bool(np.any(to_host(ovf))):
         raise RuntimeError(
             "distributed streaming overflow (routing bucket or table "
@@ -448,7 +585,7 @@ def _run_distributed_stream(
 def _run_distributed_step(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh,
     bucket_cap: int | None, axis, minimizer_len: int | None = None,
-    table_capacity: int | None = None,
+    table_capacity: int | None = None, merge_stride: int | None = None,
 ):
     """Shared front half of the distributed counters: pad + shard + pack
     the reads, build/run the jitted step, check routing overflow.
@@ -465,7 +602,7 @@ def _run_distributed_step(
     if -(-b // d) * (length - cfg.k + 1) > DIST_STREAM_WINDOWS:
         return _run_distributed_stream(
             reads, cfg, mesh, bucket_cap, axis, minimizer_len,
-            table_capacity,
+            table_capacity, merge_stride,
         )
     per_dev = -(-b // d)
     padded = per_dev * d
@@ -506,6 +643,7 @@ def distributed_count_to_host(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
     bucket_cap: int | None = None, axis=None,
     minimizer_len: int | None = None, table_capacity: int | None = None,
+    merge_stride: int | None = None,
 ) -> dict[str, int]:
     """Count reads over the mesh; gather the global table as a host dict."""
     from .mesh import axis_size, mesh_axes
@@ -514,7 +652,7 @@ def distributed_count_to_host(
     d = axis_size(mesh, axis)
     words, counts, num_unique = _run_distributed_step(
         reads, cfg, mesh, bucket_cap, axis, minimizer_len,
-        table_capacity=table_capacity,
+        table_capacity=table_capacity, merge_stride=merge_stride,
     )
     from ..utils.jaxenv import to_host
 
@@ -532,6 +670,7 @@ def distributed_count_table(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
     bucket_cap: int | None = None, axis=None,
     minimizer_len: int | None = None, table_capacity: int | None = None,
+    merge_stride: int | None = None,
 ) -> "count_jax.CountTable":
     """Count reads over the mesh; merge shard tables into one CountTable.
 
@@ -545,7 +684,7 @@ def distributed_count_table(
     axis = axis if axis is not None else mesh_axes(mesh)
     words, counts, _ = _run_distributed_step(
         reads, cfg, mesh, bucket_cap, axis, minimizer_len,
-        table_capacity=table_capacity,
+        table_capacity=table_capacity, merge_stride=merge_stride,
     )
     # Gather shard tables and re-count with multiplicity weights: shard
     # keys are disjoint, so this is a pure re-sort into global order.
@@ -638,6 +777,7 @@ def assemble_distributed_sharded(
     return_graph: bool = False,
     minimizer_len: int | None = None,
     table_capacity: int | None = None,
+    merge_stride: int | None = None,
 ) -> list[str]:
     """Fully sharded assembly: the graph never gathers onto one device.
 
@@ -681,7 +821,7 @@ def assemble_distributed_sharded(
         with m.stage("count"):
             words, counts, num_unique = _run_distributed_step(
                 reads, cfg, mesh, bucket_cap, axis, minimizer_len,
-                table_capacity=table_capacity,
+                table_capacity=table_capacity, merge_stride=merge_stride,
             )
             _sync(counts[:1])
     if checkpoint is not None:
@@ -762,6 +902,7 @@ def assemble_distributed(
     return_graph: bool = False,
     minimizer_len: int | None = None,
     table_capacity: int | None = None,
+    merge_stride: int | None = None,
 ) -> list[str]:
     """End-to-end multi-device assembly: reads -> canonical contigs.
 
@@ -798,6 +939,7 @@ def assemble_distributed(
                 table = distributed_count_table(
                     reads, cfg, mesh, minimizer_len=minimizer_len,
                     table_capacity=table_capacity,
+                    merge_stride=merge_stride,
                 )
                 sync(table.num_unique)
         if checkpoint is not None:

@@ -107,3 +107,63 @@ def test_default_threshold_uses_one_shot_on_small_inputs():
     cfg = AssemblyConfig(k=15, read_len=60)
     counts = pp.distributed_count_to_host(codes, cfg, build_mesh(2))
     assert counts == count_canonical_fast(codes, cfg.k)
+
+
+@pytest.mark.parametrize(
+    "d,stride,n_drop",
+    [
+        (1, 3, 0),     # single-owner routing skip + strided appends
+        (4, 2, 3),     # uneven final batch + partial final stride
+        (8, 3, 1),     # stride not dividing the batch count
+    ],
+)
+def test_streamed_counts_strided(force_stream, d, stride, n_drop):
+    """Deferred-merge distributed streaming (merge_stride > 1) is
+    bit-identical to per-batch merging and the host oracle, across mesh
+    sizes, tail batches, and partial final strides."""
+    codes = _reads()
+    if n_drop:
+        codes = codes[:-n_drop]
+    cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
+    mesh = build_mesh(d)
+    base = pp.distributed_count_to_host(
+        codes, cfg, mesh, table_capacity=4096
+    )
+    strided = pp.distributed_count_to_host(
+        codes, cfg, mesh, table_capacity=4096, merge_stride=stride
+    )
+    assert strided == base == count_canonical_fast(codes, cfg.k)
+
+
+def test_streamed_counts_strided_ns_and_minimizer(force_stream):
+    """Strided appends compose with N-masked windows and with minimizer
+    super-k-mer routing (records, not per-window keys, ride the
+    pending buffer's all-to-all)."""
+    codes = _reads(with_n=True)
+    cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
+    want = count_canonical_fast(codes, cfg.k)
+    got_n = pp.distributed_count_to_host(
+        codes, cfg, build_mesh(4), table_capacity=4096, merge_stride=2
+    )
+    assert got_n == want
+    got_m = pp.distributed_count_to_host(
+        codes, cfg, build_mesh(4), table_capacity=4096, merge_stride=3,
+        minimizer_len=7,
+    )
+    assert got_m == want
+
+
+def test_streamed_assembly_strided_env(force_stream, monkeypatch):
+    """GA_MERGE_STRIDE reaches the distributed streaming path and the
+    full assembly still matches the oracle on both graph paths."""
+    codes = _reads(genome_len=1200, coverage=15)
+    cfg = AssemblyConfig(k=15, read_len=60, batch_reads=128)
+    oracle = assemble_oracle(codes, cfg)
+    monkeypatch.setenv("GA_MERGE_STRIDE", "2")
+    mesh = build_mesh(4)
+    assert pp.assemble_distributed(
+        codes, cfg, mesh, table_capacity=4096
+    ) == oracle
+    assert pp.assemble_distributed_sharded(
+        codes, cfg, mesh, table_capacity=4096
+    ) == oracle
