@@ -39,6 +39,7 @@ def main() -> int:
     # real measurement — detail.backend reports what actually ran. The
     # probe must run before any module-level jnp constant (e.g.
     # kmer_jax.SENTINEL) triggers backend init inside the imports below.
+    fell_back = False
     try:
         jax.devices()
     except RuntimeError as e:
@@ -46,6 +47,7 @@ def main() -> int:
               file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
         jax.devices()
+        fell_back = True
 
     import numpy as np
 
@@ -61,6 +63,10 @@ def main() -> int:
     coverage = float(os.environ.get("GA_BENCH_COVERAGE", 25))
     k = int(os.environ.get("GA_BENCH_K", 31))
     reps = int(os.environ.get("GA_BENCH_REPS", 3))
+    if fell_back and "GA_BENCH_GENOME" not in os.environ:
+        # emergency CPU run: keep the full-pipeline passes within any
+        # reasonable driver timeout (the CPU backend is ~2 orders slower)
+        genome_len, coverage, reps = 200_000, 12.0, 1
     read_len = 100
 
     genome = simulate_genome(genome_len, seed=11)
