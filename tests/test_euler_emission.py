@@ -121,3 +121,21 @@ def test_euler_circular_genome_canonical():
     eul = assemble_tpu(reads, cfg, emit="euler")
     assert uni == eul  # single cycle: both modes canonicalize identically
     assert len(eul) == 1
+
+
+def test_euler_emission_distributed_paths():
+    """--emit euler produces identical contigs on the gathered and fully
+    sharded distributed paths as on the single-device path and the
+    oracle, including on a branchy (junction-bearing) graph."""
+    from genome_assembler_tpu.parallel.mesh import build_mesh
+    from genome_assembler_tpu.parallel.pipeline import (
+        assemble_distributed,
+        assemble_distributed_sharded,
+    )
+
+    genome, reads, cfg = _branchy_case()
+    want = assemble_tpu(reads, cfg, emit="euler")
+    assert want == assemble_oracle(reads, cfg, emit="euler")
+    mesh = build_mesh(4)
+    assert assemble_distributed(reads, cfg, mesh, emit="euler") == want
+    assert assemble_distributed_sharded(reads, cfg, mesh, emit="euler") == want
