@@ -301,12 +301,20 @@ def _segs_to_arrays(sg: _Segs) -> UnitigArrays:
         return UnitigArrays(
             buf=buf, off=off, edges=sg.edges, cov_sum=sg.cov_sum, k=sg.k
         )
-    # many short slices: one fancy gather with int32 indices (the buffer
-    # is < 2^31 bytes by the edge-table bound, so they always fit)
+    # many short slices: one fancy gather. int32 indices halve the
+    # index-build traffic, but both the source buffer (total_body +
+    # U*(k-1) bytes) and the output can exceed 2^31 on a fragmented
+    # graph, so the dtype follows the larger of the two (mirrors
+    # build_unitig_arrays).
+    idx_dt = (
+        np.int32
+        if max(total, len(sg.buf)) <= np.iinfo(np.int32).max
+        else np.int64
+    )
     excl = np.concatenate([[0], np.cumsum(sg.seg_len)[:-1]])
     src = np.repeat(
-        (sg.seg_src - excl).astype(np.int32), sg.seg_len
-    ) + np.arange(total, dtype=np.int32)
+        (sg.seg_src - excl).astype(idx_dt), sg.seg_len
+    ) + np.arange(total, dtype=idx_dt)
     return UnitigArrays(
         buf=sg.buf[src], off=off, edges=sg.edges, cov_sum=sg.cov_sum, k=sg.k
     )

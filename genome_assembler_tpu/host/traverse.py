@@ -56,10 +56,15 @@ def euler_walks(g: UnitigGraph) -> list[list[int]]:
     remaining = sum(out_deg.values()) + len(sources)
     VIRTUAL = -1
     circuits: list[list[int]] = []
+    # smallest node with unused edges via an advancing cursor: a node's
+    # edges are only ever consumed, so exhausted nodes never revive and
+    # the scan is O(V) total instead of O(V) per circuit (fragmented
+    # graphs have one circuit per component)
+    cursor = 0
     while remaining:
-        start = min(
-            n for n in nodes if unused.get(n) or vadj.get(n)
-        )
+        while not (unused.get(nodes[cursor]) or vadj.get(nodes[cursor])):
+            cursor += 1
+        start = nodes[cursor]
         stack: list[tuple[str, int | None]] = [(start, None)]
         circuit: list[int] = []
         while stack:

@@ -134,7 +134,11 @@ def extract_canonical_flat(
 
     Rows >= num_valid_reads (batch padding) are marked invalid; their keys
     are replaced by the all-ones sentinel so they sort to the end. ``bad``
-    [B, L] flags ambiguous bases whose windows mask the same way.
+    [B, L] flags ambiguous bases whose windows mask the same way. The
+    valid mask matches the key mask exactly: ambiguous-base windows are
+    invalid too (a real canonical key can never be the all-ones sentinel —
+    an all-T forward word implies an all-A reverse complement, and min
+    picks the smaller).
     """
     b, length = reads.shape
     wc = length - k + 1
@@ -145,4 +149,5 @@ def extract_canonical_flat(
         row_ok = jnp.arange(b, dtype=jnp.int32) < num_valid_reads
         valid = jnp.broadcast_to(row_ok[:, None], (b, wc))
     keys = jnp.where(valid[..., None], keys, SENTINEL)
-    return keys.reshape(b * wc, -1), valid.reshape(b * wc)
+    flat = keys.reshape(b * wc, -1)
+    return flat, valid.reshape(b * wc) & ~jnp.all(flat == SENTINEL, axis=-1)

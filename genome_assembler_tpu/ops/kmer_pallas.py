@@ -49,6 +49,11 @@ def _kernel(
     rc_shift = jnp.uint32(pos % 32)
     for j in range(k):
         base = reads_ref[:, j : j + wc].astype(jnp.uint32)
+        # raw (unpacked) codes can carry INVALID_CODE=4 for N bases:
+        # mask the window and clamp the code, matching
+        # ops.kmer_jax.extract_kmers bit for bit
+        badwin = badwin | (base > 3)
+        base = base & jnp.uint32(3)
         if has_bad:
             # ambiguous-base plane: windows touching one emit the sentinel
             badwin = badwin | (bad_ref[:, j : j + wc] != 0)
@@ -172,4 +177,6 @@ def extract_canonical_flat_pallas(
             n_valid, jnp.int32
         )
         valid = jnp.broadcast_to(row_ok[:, None], (b, wc)).reshape(b * wc)
-    return keys, valid
+    # valid matches the key mask exactly (ambiguous/N windows emit the
+    # sentinel in-kernel; see extract_canonical_flat)
+    return keys, valid & ~jnp.all(keys == _SENT, axis=-1)

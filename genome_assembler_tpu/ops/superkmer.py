@@ -134,7 +134,6 @@ def superkmer_records(
     last_brk = jax.lax.cummax(jnp.where(brk, widx, -1), axis=1)
     pos_in_run = widx - last_brk
     brk = brk | (window_valid & (pos_in_run % RUN_CAP == 0) & (pos_in_run > 0))
-    last_brk = jax.lax.cummax(jnp.where(brk, widx, -1), axis=1)
 
     # run length per start: next break (or first invalid window) after me
     stop = brk | ~window_valid

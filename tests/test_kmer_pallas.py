@@ -52,3 +52,34 @@ def test_pallas_rejects_unaligned_batch():
     with pytest.raises(ValueError, match="tile_rows"):
         with pltpu.force_tpu_interpret_mode():
             extract_canonical_flat_pallas(reads, 21)
+
+
+def test_pallas_raw_invalid_codes_match_xla():
+    """Raw (unpacked) codes carrying INVALID_CODE=4 without a separate bad
+    plane: both kernels must mask the touched windows to the sentinel and
+    report them invalid (regression: the pallas kernel OR'd the stray bit
+    into neighboring bases instead)."""
+    import jax.numpy as jnp
+
+    from genome_assembler_tpu.ops.kmer_jax import (
+        SENTINEL,
+        extract_canonical_flat,
+    )
+    from genome_assembler_tpu.ops.kmer_pallas import (
+        extract_canonical_flat_pallas,
+    )
+
+    rng = np.random.default_rng(17)
+    reads = rng.integers(0, 4, size=(256, 40), dtype=np.uint8)
+    reads[rng.random(reads.shape) < 0.05] = 4  # Ns as raw codes
+    k = 21
+    kx, vx = extract_canonical_flat(jnp.asarray(reads), k, np.int32(200))
+    kp, vp = extract_canonical_flat_pallas(
+        jnp.asarray(reads), k, np.int32(200)
+    )
+    assert np.array_equal(np.asarray(kx), np.asarray(kp))
+    assert np.array_equal(np.asarray(vx), np.asarray(vp))
+    # valid matches the key mask exactly: sentinel lanes are invalid
+    sent = np.all(np.asarray(kx) == np.uint32(SENTINEL), axis=-1)
+    assert np.array_equal(np.asarray(vx), ~sent)
+    assert sent.any() and (~sent).any()
