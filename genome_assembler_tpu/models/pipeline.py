@@ -230,6 +230,11 @@ def count_reads_device(
     # table into an actionable error instead of silent truncation.
     capacity = table_capacity or min(total_windows, SINGLE_SHOT_WINDOWS)
     batch = cfg.batch_reads
+    if use_pallas:
+        # each streamed chunk runs through the 256-row-tiled kernel, so
+        # the chunk shape itself must be a tile multiple (n_valid masks
+        # the tail) — otherwise extract_canonical_flat_pallas raises
+        batch = -(-batch // tile) * tile
     padded = -(-reads.shape[0] // batch) * batch
     table = count_jax.empty_table(capacity, key_words(cfg.k))
 

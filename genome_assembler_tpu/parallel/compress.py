@@ -105,6 +105,13 @@ def _bucket_pack(values, owner, valid, d, cap):
     return send, jnp.any(per > cap)
 
 
+def _join_cap(k_cap: int, d: int) -> int:
+    """Per-owner rows of the successor-join routing buffer: expected
+    2*k_cap/D with hash-skew slack. ONE definition — peak_rows_per_device
+    (and its memory-scaling tests) must track the real buffer shape."""
+    return int(2 * k_cap / d * 1.6) + 128
+
+
 def _answer_queries(state, recv, k_cap):
     """Owner side of a query round: state rows for received global ids."""
     slot = jnp.clip(recv % k_cap, 0, k_cap - 1)
@@ -130,7 +137,7 @@ def make_sharded_compress(
     if d * k_cap >= (1 << 29):
         raise ValueError("global edge table exceeds int32 doubling range")
     # per-owner caps (expected/D with slack; overflow-checked)
-    cap_join = int(2 * k_cap / d * 1.6) + 128
+    cap_join = _join_cap(k_cap, d)
     cap_pair = int(k_cap / d * 1.6) + 128
     cap_query = int(k_cap / d * 2.0) + 128
     steps = max(1, int(math.ceil(math.log2(max(d * k_cap, 2)))) + 1)
@@ -140,8 +147,6 @@ def make_sharded_compress(
 
     def local_edges(words, counts):
         """Both-strand local edge table, locally sorted."""
-        c = words.shape[0]
-        lane = jnp.arange(c, dtype=jnp.int32)
         is_real = ~_eq_rows(words, jnp.broadcast_to(
             jnp.full((1, w), SENTINEL, jnp.uint32), words.shape))
         rc = revcomp_words(words, k)
@@ -494,8 +499,7 @@ def peak_rows_per_device(d: int, c_shard: int) -> int:
     buffers are O(num_unitigs) — genome-structure-sized, not edge-sized.)
     """
     k_cap = 2 * c_shard
-    cap_join = int(2 * k_cap / d * 1.6) + 128
-    return max(2 * k_cap, d * cap_join)
+    return max(2 * k_cap, d * _join_cap(k_cap, d))
 
 
 @functools.lru_cache(maxsize=64)

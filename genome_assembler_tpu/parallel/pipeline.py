@@ -33,7 +33,7 @@ from ..host.simplify import simplify_counts
 from ..host.traverse import emit_contigs
 from ..ops import count_jax
 from ..ops.hash import mix_words
-from ..ops.kmer_jax import SENTINEL, extract_kmers, unpack_codes
+from ..ops.kmer_jax import SENTINEL, unpack_codes
 from ..utils.config import AssemblyConfig
 from ..utils.dna import key_words, pack_codes
 from ..utils.jaxenv import sync
@@ -42,19 +42,15 @@ from ..utils.jaxenv import sync
 def _local_extract(
     reads: jax.Array, k: int, n_valid: jax.Array, bad: jax.Array | None = None
 ):
-    """[B, L] local shard -> ([N, W] canonical keys, [N] valid)."""
-    b, length = reads.shape
-    wc = length - k + 1
-    keys = extract_kmers(reads, k, canonical=True, bad=bad)
-    row_ok = jnp.arange(b, dtype=jnp.int32) < n_valid
-    valid = jnp.broadcast_to(row_ok[:, None], (b, wc)).reshape(b * wc)
-    keys = jnp.where(valid[:, None], keys.reshape(b * wc, -1), SENTINEL)
-    # N-masked windows already carry the sentinel; drop them from routing
-    # too, or they all hash into one bucket and blow its capacity.
-    masked = keys[:, 0] == SENTINEL
-    for i in range(1, keys.shape[1]):
-        masked &= keys[:, i] == SENTINEL
-    return keys, valid & ~masked
+    """[B, L] local shard -> ([N, W] canonical keys, [N] valid).
+
+    Alias of ops.kmer_jax.extract_canonical_flat, whose valid mask
+    matches the key mask exactly: padding rows AND N-masked windows are
+    invalid, so masked lanes never route (they would all hash into one
+    bucket and blow its capacity)."""
+    from ..ops.kmer_jax import extract_canonical_flat
+
+    return extract_canonical_flat(reads, k, n_valid, bad)
 
 
 def _route_to_buckets(
@@ -62,38 +58,19 @@ def _route_to_buckets(
 ):
     """Pack keys into a [num_buckets, bucket_cap, W] send buffer.
 
-    Scatter-free (TPU scatters serialize): keys sort by (invalid, bucket,
-    key words) so each bucket is a contiguous run; bucket boundaries come
-    from binary search over the sorted bucket column, and the send buffer
-    is a pure *gather* — slot (b, j) pulls sorted lane starts[b] + j, or
-    the sentinel when j exceeds the bucket's run.
-    Returns (send_buffer, overflow).
+    Thin uint32 view over the shared scatter-free bucket packer
+    (parallel.compress._bucket_pack, also used by the minimizer routing):
+    bucket = mix_hash(key) % D; the int32 round trip is a bit
+    reinterpretation, and _bucket_pack's -1 fill IS the all-ones
+    sentinel as uint32 key words. Returns (send_buffer, overflow).
     """
-    n, w = keys.shape
-    bucket = (mix_words(keys) % jnp.uint32(num_buckets)).astype(jnp.uint32)
-    inv = (~valid).astype(jnp.uint32)
-    operands = (inv, bucket) + tuple(keys[:, i] for i in range(w))
-    out = jax.lax.sort(operands, num_keys=2 + w)
-    bucket_sorted = out[1]
-    keys_sorted = jnp.stack(out[2 : 2 + w], axis=1)
-    valid_sorted = out[0] == 0
+    from .compress import _bucket_pack
 
-    # valid lanes sort first; among them buckets ascend -> searchsorted
-    # over (bucket with invalid pinned above any bucket id)
-    bucket_or_inf = jnp.where(valid_sorted, bucket_sorted, jnp.uint32(num_buckets))
-    bucket_ids = jnp.arange(num_buckets, dtype=jnp.uint32)
-    starts = jnp.searchsorted(bucket_or_inf, bucket_ids, side="left")
-    ends = jnp.searchsorted(bucket_or_inf, bucket_ids, side="right")
-    per_bucket = (ends - starts).astype(jnp.int32)
-
-    slot = jnp.arange(bucket_cap, dtype=jnp.int32)
-    src = starts.astype(jnp.int32)[:, None] + slot[None, :]  # [D, cap]
-    in_run = slot[None, :] < per_bucket[:, None]
-    src = jnp.clip(src, 0, n - 1)
-    send = keys_sorted[src.reshape(-1)]  # gather [D*cap, W]
-    send = jnp.where(in_run.reshape(-1, 1), send, SENTINEL)
-    overflow = jnp.any(per_bucket > bucket_cap)
-    return send.reshape(num_buckets, bucket_cap, w), overflow
+    bucket = (mix_words(keys) % jnp.uint32(num_buckets)).astype(jnp.int32)
+    send, overflow = _bucket_pack(
+        keys.astype(jnp.int32), bucket, valid, num_buckets, bucket_cap
+    )
+    return send.astype(jnp.uint32), overflow
 
 
 def _make_owned_keys(
@@ -498,8 +475,6 @@ def _run_distributed_stream(
         merge_full = make_distributed_pending_merge(
             mesh, stride * recv, axis
         )
-        from ..ops.kmer_jax import SENTINEL
-
         pend = jax.device_put(
             np.full((d * stride * recv, w), int(SENTINEL), dtype=np.uint32),
             NamedSharding(mesh, P(axis, None)),
@@ -698,7 +673,7 @@ def distributed_count_table(
     return count_jax.count_keys(words_h, counts_h)
 
 
-def _shard_filter_compact(mesh, axis, d: int, c_shard: int, min_count: int):
+def _shard_filter_compact(mesh, axis, min_count: int):
     """Per-shard coverage filter + front-compaction (zero comms)."""
     from ..ops.count_jax import compact_front
 
@@ -841,7 +816,7 @@ def assemble_distributed_sharded(
             vals = np.repeat(nz, hist[nz])
             min_count = auto_min_count(vals)
         words, counts, kept = _shard_filter_compact(
-            mesh, axis, d, c_shard, min_count
+            mesh, axis, min_count
         )(words, counts)
         # shrink every shard to one snug uniform capacity
         new_c = min(
@@ -965,7 +940,8 @@ def assemble_distributed(
         return (contigs, graph) if return_graph else contigs
     with m.stage("count"):
         counts = distributed_count_to_host(
-            reads, cfg, mesh, minimizer_len=minimizer_len
+            reads, cfg, mesh, minimizer_len=minimizer_len,
+            table_capacity=table_capacity, merge_stride=merge_stride,
         )
     min_count = cfg.min_count
     if min_count == 0:

@@ -54,7 +54,7 @@ def _compress_outputs(reads, cfg, mesh):
     w = key_words(cfg.k)
     c_shard = words.shape[0] // d
     words, counts, kept = _shard_filter_compact(
-        mesh, axis, d, c_shard, max(cfg.min_count, 1)
+        mesh, axis, max(cfg.min_count, 1)
     )(words, counts)
     new_c = min(c_shard, snug_capacity(int(to_host(kept).max())))
     if new_c < c_shard:
