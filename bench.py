@@ -27,6 +27,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _axon_probe_ok(timeout_s: float) -> bool:
+    """True if the tunneled axon backend initializes AND executes.
+
+    Runs in a subprocess: in its outage mode the backend can hang the
+    in-process init for ~20 minutes before raising UNAVAILABLE, which
+    would eat the driver's bench timeout before the in-process CPU
+    fallback could trigger. A subprocess can be killed on a deadline,
+    and backend init is per-process, so the sequential re-init in the
+    parent is cheap when the backend is healthy. The probe runs a jit +
+    scalar fetch (not just devices()) because device listing can succeed
+    while remote execution is down.
+    """
+    import subprocess
+
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "x = jax.jit(lambda a: a + 1)(jnp.zeros(4, jnp.int32))\n"
+        "assert int(np.asarray(x)[0]) == 1\n"
+        "print('AXON_UP')\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return out.returncode == 0 and "AXON_UP" in out.stdout
+
+
 def main() -> int:
     import jax
 
@@ -34,12 +66,21 @@ def main() -> int:
 
     setup()
 
-    # If the tunneled axon backend is down (observed: ~20 min init hang
-    # then UNAVAILABLE), fall back to CPU so the driver still records a
-    # real measurement — detail.backend reports what actually ran. The
+    # If the tunneled axon backend is down (observed: UNAVAILABLE after a
+    # hang of up to ~20 min), fall back to CPU so the driver still records
+    # a real measurement — detail.backend reports what actually ran. The
     # probe must run before any module-level jnp constant (e.g.
-    # kmer_jax.SENTINEL) triggers backend init inside the imports below.
+    # kmer_jax.SENTINEL) triggers backend init inside the imports below,
+    # and it runs in a deadline-killed subprocess so a hung init cannot
+    # consume the whole bench timeout (GA_BENCH_INIT_TIMEOUT seconds).
     fell_back = False
+    if os.environ.get("GA_PLATFORM") != "cpu":
+        probe_timeout = float(os.environ.get("GA_BENCH_INIT_TIMEOUT", 300))
+        if not _axon_probe_ok(probe_timeout):
+            print("# axon backend unavailable or init hung; falling back "
+                  "to cpu", file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
+            fell_back = True
     try:
         jax.devices()
     except RuntimeError as e:
