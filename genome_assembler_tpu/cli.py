@@ -386,7 +386,13 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--cmd", default=None,
                     help="shell template to run the reference, with {entry} "
                     "and {reads} placeholders")
-    pv.add_argument("-k", type=int, default=25)
+    pv.add_argument("-k", type=int, default=25,
+                    help="k tried first in the sweep")
+    pv.add_argument("--ks", default=None,
+                    help="comma-separated k sweep (default: k,25,31,21)")
+    pv.add_argument("--emits", default=None,
+                    help="comma-separated emission modes to sweep "
+                    "(default: unitigs,euler)")
     pv.add_argument("--min-count", type=int, default=1)
     pv.add_argument("--use-ref-data", action="store_true",
                     help="run on the reference's bundled read sets")

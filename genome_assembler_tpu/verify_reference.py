@@ -147,16 +147,27 @@ def verify(
     reads_path: str | None = None,
     cmd: str | None = None,
     k: int = 25,
+    ks: tuple[int, ...] | None = None,
+    emits: tuple[str, ...] = ("unitigs", "euler"),
     min_count: int = 1,
     backends: tuple[str, ...] = ("oracle", "tpu"),
     use_ref_data: bool = False,
 ) -> dict:
-    """Full parity check; returns the report dict (also printed by the CLI)."""
+    """Full parity check; returns the report dict (also printed by the CLI).
+
+    The reference's contig style and k are unknown a priori (the reference
+    spells contigs from ``eulerian_path``, SURVEY.md §3.1/§3.4, but may emit
+    unitigs; its default k is unrecorded), so the harness SWEEPS both
+    emission modes x a small k set per read set and reports the first
+    matching combination per backend (VERDICT r2 item 4: succeed unattended
+    on a populated mount, no operator flags). ``k`` is tried first;
+    ``ks=None`` defaults to (k, 25, 31, 21) deduplicated.
+    """
     import numpy as np
 
     from .cli import read_sequences
     from .host.traverse import canonicalize_contigs, contigs_equal
-    from .models.oracle import assemble_oracle
+    from .models.oracle import assemble_from_counts, count_canonical_dict
     from .utils.config import AssemblyConfig
     from .utils.dna import decode_seq, encode_seq
     from .utils.simulate import simulate_genome, simulate_reads
@@ -194,6 +205,9 @@ def verify(
         tmp.close()
         read_files = [tmp.name]
 
+    if ks is None:
+        ks = tuple(dict.fromkeys((k, 25, 31, 21)))
+
     runs = []
     all_equal = True
     try:
@@ -201,32 +215,61 @@ def verify(
             ref_contigs = run_reference(entry, rf, cmd)
             seqs = read_sequences(rf)
             lens = {len(s) for s in seqs}
-            cfg = AssemblyConfig(
-                k=k, min_count=min_count,
-                read_len=len(seqs[0]) if len(lens) == 1 else 100,
-            )
-            ours: dict[str, list[str]] = {}
-            if "oracle" in backends:
-                ours["oracle"] = assemble_oracle(seqs, cfg, fast_count=False)
-            if "tpu" in backends and len(lens) == 1:
-                from .models.pipeline import assemble_tpu
+            min_len = min(lens)
+            ks_run = [kk for kk in ks if kk < min_len] or [min(ks)]
 
-                codes = np.stack(
-                    [encode_seq(s, mask_invalid=True) for s in seqs]
-                )
-                ours["tpu"] = assemble_tpu(codes, cfg)
-            comparison = {
-                name: contigs_equal(ref_contigs, got)
-                for name, got in ours.items()
-            }
+            # Sweep (k, emit) per backend; first match wins. Per-k state
+            # (oracle count dict / TPU codes) is computed once and reused
+            # across the two emission modes.
+            comparison: dict[str, bool] = {}
+            matched: dict[str, dict | None] = {}
+            n_ours: dict[str, int] = {}
+            for name in backends:
+                if name == "tpu" and len(lens) != 1:
+                    continue  # fixed-width batch required
+                comparison[name] = False
+                matched[name] = None
+                for kk in ks_run:
+                    cfg = AssemblyConfig(
+                        k=kk, min_count=min_count,
+                        read_len=len(seqs[0]) if len(lens) == 1 else 100,
+                    )
+                    if name == "oracle":
+                        counts = count_canonical_dict(seqs, kk)
+                        candidates = {
+                            em: assemble_from_counts(counts, cfg, em)
+                            for em in emits
+                        }
+                    else:
+                        from .models.pipeline import assemble_tpu
+
+                        codes = np.stack(
+                            [encode_seq(s, mask_invalid=True) for s in seqs]
+                        )
+                        candidates = {
+                            em: assemble_tpu(codes, cfg, emit=em)
+                            for em in emits
+                        }
+                    for em, got in candidates.items():
+                        n_ours[name] = len(got)
+                        if contigs_equal(ref_contigs, got):
+                            comparison[name] = True
+                            matched[name] = {"k": kk, "emit": em}
+                            n_ours[name] = len(got)
+                            break
+                    if comparison[name]:
+                        break
             all_equal = all_equal and all(comparison.values())
             runs.append(
                 {
                     "reads": rf,
                     "n_reads": len(seqs),
+                    "ks_swept": ks_run,
+                    "emits_swept": list(emits),
                     "reference_contigs": len(ref_contigs),
-                    "our_contigs": {n: len(c) for n, c in ours.items()},
+                    "our_contigs": n_ours,
                     "equal": comparison,
+                    "matched": matched,
                     "reference_canonical_lens": [
                         len(c) for c in canonicalize_contigs(ref_contigs)
                     ][:20],
@@ -244,11 +287,23 @@ def verify(
 
 
 def cmd_verify_reference(args) -> int:
+    ks = (
+        tuple(int(s) for s in args.ks.split(","))
+        if getattr(args, "ks", None)
+        else None
+    )
+    emits = (
+        tuple(args.emits.split(","))
+        if getattr(args, "emits", None)
+        else ("unitigs", "euler")
+    )
     report = verify(
         args.path,
         reads_path=args.reads,
         cmd=args.cmd,
         k=args.k,
+        ks=ks,
+        emits=emits,
         min_count=args.min_count,
         use_ref_data=args.use_ref_data,
     )
