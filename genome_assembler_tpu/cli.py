@@ -238,6 +238,7 @@ def cmd_assemble(args) -> int:
                 return_graph=True, minimizer_len=args.minimizer_len,
                 table_capacity=args.table_capacity,
                 merge_stride=args.merge_stride,
+                stream_checkpoint_every=args.stream_checkpoint_every,
             )
         else:
             contigs, graph = assemble_distributed(
@@ -246,6 +247,7 @@ def cmd_assemble(args) -> int:
                 return_graph=True, minimizer_len=args.minimizer_len,
                 table_capacity=args.table_capacity,
                 merge_stride=args.merge_stride,
+                stream_checkpoint_every=args.stream_checkpoint_every,
             )
         contigs, coverages = _graph_outputs(args, graph)
     else:  # tpu
@@ -266,6 +268,7 @@ def cmd_assemble(args) -> int:
             return_graph=True,
             emit=args.emit,
             merge_stride=args.merge_stride,
+            stream_checkpoint_every=args.stream_checkpoint_every,
         )
         contigs, coverages = _graph_outputs(args, graph)
     dt = time.perf_counter() - t0
@@ -364,7 +367,15 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--checkpoint", default=None,
                     help="save the counted k-mer table (.npz) here")
     pa.add_argument("--resume-from", default=None,
-                    help="skip counting; restart from a table checkpoint")
+                    help="restart from a table checkpoint: a stage-boundary "
+                    "one skips counting; a mid-stream one (see "
+                    "--stream-checkpoint-every) continues counting from "
+                    "its batch cursor")
+    pa.add_argument("--stream-checkpoint-every", type=int, default=0,
+                    help="with --checkpoint: also snapshot the streaming "
+                    "counter's carried table + batch cursor every N "
+                    "batches (mid-stream preemption recovery; tpu and "
+                    "dist backends)")
     pa.set_defaults(fn=cmd_assemble)
 
     pc = sub.add_parser(

@@ -202,8 +202,13 @@ def accept_cfg1() -> AcceptResult:
 
 
 def accept_cfg2() -> AcceptResult:
+    # The oracle cross-check defaults off at full scale (the host dict
+    # pipeline is minutes-slow at 2.3M reads); GA_FORCE_ORACLE_CHECK=1
+    # runs it anyway — the one-time recorded full-scale equality run
+    # (VERDICT r2 item 9; result pinned in RESULTS.md).
+    force = os.environ.get("GA_FORCE_ORACLE_CHECK") == "1"
     passed, detail = _run_single(
-        4_641_652, 50, 31, seed=1030, check_oracle=_scale() < 0.2
+        4_641_652, 50, 31, seed=1030, check_oracle=force or _scale() < 0.2
     )
     return AcceptResult(2, passed, detail)
 
@@ -288,11 +293,13 @@ def accept_cfg4() -> AcceptResult:
     # both the gathered path and the fully sharded graph path.
     from ..parallel.pipeline import assemble_distributed_sharded
 
+    m_sharded = Metrics()
     contigs = assemble_distributed(
         rs.codes, cfg, build_mesh(n_dev), table_capacity=capacity
     )
     sharded = assemble_distributed_sharded(
-        rs.codes, cfg, build_mesh(n_dev), table_capacity=capacity
+        rs.codes, cfg, build_mesh(n_dev), table_capacity=capacity,
+        metrics=m_sharded,
     )
     oracle = assemble_oracle(rs.codes, cfg)
     assembly_ok = (
@@ -320,6 +327,9 @@ def accept_cfg4() -> AcceptResult:
             "weak_scaling_eff": {str(d): round(e, 3) for d, e in eff.items()},
             "weak_scaling_bar": eff_bar,
             "unique_kmers": len(counts),
+            # wire/link volume of the sharded run (SURVEY.md §5 metrics
+            # row: all-to-all volume observable per run, VERDICT r2 item 6)
+            "sharded_run_metrics": m_sharded.report(),
         },
     )
 

@@ -178,6 +178,52 @@ def _stream_step(
     return count_jax.merge_tables(table, batch)
 
 
+def save_stream_checkpoint(
+    table: count_jax.CountTable, path: str, *, next_start: int,
+    params: dict[str, int],
+) -> None:
+    """Mid-stream checkpoint: the carried table AND the batch cursor.
+
+    SURVEY.md §5 failure/elastic + checkpoint rows (VERDICT r2 item 7): a
+    preempted pod-scale counting run restarts from the last merge boundary
+    instead of from zero. ``params`` pins everything byte-identity depends
+    on (k, batch size, capacity, merge stride, total reads) — resume
+    refuses a mismatched run rather than silently diverging.
+    """
+    np.savez_compressed(
+        path,
+        words=np.asarray(table.words),
+        counts=np.asarray(table.counts),
+        num_unique=np.asarray(table.num_unique),
+        overflow=np.asarray(table.overflow),
+        next_start=np.asarray(next_start),
+        **{k: np.asarray(v) for k, v in params.items()},
+    )
+
+
+def is_stream_checkpoint(path: str) -> bool:
+    """True if ``path`` is a mid-stream (cursor-carrying) checkpoint."""
+    with np.load(path) as z:
+        return "next_start" in z.files
+
+
+def load_stream_checkpoint(path: str) -> tuple[count_jax.CountTable, int, dict]:
+    with np.load(path) as z:
+        table = count_jax.CountTable(
+            words=z["words"],
+            counts=z["counts"],
+            num_unique=z["num_unique"],
+            overflow=z["overflow"],
+        )
+        params = {
+            k: int(z[k])
+            for k in z.files
+            if k not in ("words", "counts", "num_unique", "overflow",
+                         "next_start")
+        }
+        return table, int(z["next_start"]), params
+
+
 def count_reads_device(
     reads: np.ndarray,
     cfg: AssemblyConfig,
@@ -185,6 +231,9 @@ def count_reads_device(
     table_capacity: int | None = None,
     use_pallas: bool = False,
     merge_stride: int | None = None,
+    stream_checkpoint: str | None = None,
+    stream_checkpoint_every: int = 0,
+    resume_stream_from: str | None = None,
 ) -> count_jax.CountTable:
     """Count canonical k-mers of [B, L] reads on the device.
 
@@ -195,6 +244,17 @@ def count_reads_device(
     batches of raw keys to a device pending buffer before each table
     merge (bit-identical for any value; GA_MERGE_STRIDE is the env
     fallback, default 1 = merge every batch).
+
+    stream_checkpoint + stream_checkpoint_every=N: every N streamed
+    batches (at merge boundaries — snapped up to the next one under a
+    merge stride), snapshot the carried table and the batch cursor to
+    ``stream_checkpoint``; ``resume_stream_from`` continues a killed run
+    from that snapshot, byte-identically (same k/batch/capacity/stride
+    required — enforced). The table pull costs one capacity-sized
+    device->host read, so N trades recovery granularity against
+    checkpoint overhead. GA_STREAM_ABORT_AFTER_BATCH=<n> is the fault
+    -injection hook: the loop raises after n batches (tests kill/resume
+    without killing the process).
     """
     reads = np.ascontiguousarray(reads, dtype=np.uint8)
     b, length = reads.shape
@@ -218,6 +278,11 @@ def count_reads_device(
 
     has_invalid = has_ambiguous(reads)
     if table_capacity is None and total_windows <= SINGLE_SHOT_WINDOWS:
+        if resume_stream_from is not None:
+            raise ValueError(
+                "resume_stream_from requires the streaming path; pass the "
+                "table_capacity the checkpointed run used"
+            )
         return _count_batch(
             pack_codes(reads), cfg.k, np.int32(b), use_pallas,
             read_len=length,
@@ -275,6 +340,32 @@ def count_reads_device(
     starts = list(range(0, padded, batch))
     stride = merge_stride or int(os.environ.get("GA_MERGE_STRIDE", "1"))
     strided = stride > 1 and len(starts) > 1
+    # everything byte-identity depends on, pinned into mid-stream ckpts
+    ck_params = {
+        "k": cfg.k,
+        "batch": batch,
+        "capacity": capacity,
+        "stride": stride if strided else 1,
+        "total_reads": b,
+    }
+    start_idx = 0
+    if resume_stream_from is not None:
+        ck_table, next_start, got = load_stream_checkpoint(resume_stream_from)
+        if got != ck_params:
+            raise ValueError(
+                f"mid-stream checkpoint mismatch: saved {got}, this run "
+                f"has {ck_params} — resume requires identical k/batch/"
+                "capacity/stride/read-set"
+            )
+        table = count_jax.CountTable(
+            words=jnp.asarray(ck_table.words),
+            counts=jnp.asarray(ck_table.counts),
+            num_unique=jnp.asarray(ck_table.num_unique),
+            overflow=jnp.asarray(ck_table.overflow),
+        )
+        start_idx = next_start // batch
+    abort_after = int(os.environ.get("GA_STREAM_ABORT_AFTER_BATCH", "0"))
+    since_ckpt = 0
     if strided:
         # Deferred merges: extraction appends raw keys to a device pending
         # buffer; the two cap-row merge sorts run once per ``stride``
@@ -289,8 +380,9 @@ def count_reads_device(
             (stride * bw, key_words(cfg.k)), SENTINEL, dtype=jnp.uint32
         )
         slot = 0
-    pending_io = upload(starts[0])
-    for i, start in enumerate(starts):
+    pending_io = upload(starts[start_idx])
+    for i in range(start_idx, len(starts)):
+        start = starts[i]
         chunk_dev, bm_dev = pending_io
         if i + 1 < len(starts):
             pending_io = upload(starts[i + 1])
@@ -313,6 +405,25 @@ def count_reads_device(
                 read_len=length, inv_mask=bm_dev,
                 merge_raw=True,
                 out_cap=capacity,
+            )
+        since_ckpt += 1
+        at_merge_boundary = (not strided) or slot == 0
+        if (
+            stream_checkpoint is not None
+            and stream_checkpoint_every > 0
+            and since_ckpt >= stream_checkpoint_every
+            and at_merge_boundary
+            and i + 1 < len(starts)
+        ):
+            save_stream_checkpoint(
+                table, stream_checkpoint,
+                next_start=starts[i + 1], params=ck_params,
+            )
+            since_ckpt = 0
+        if abort_after and (i + 1 - start_idx) >= abort_after:
+            raise RuntimeError(
+                f"fault injection: GA_STREAM_ABORT_AFTER_BATCH="
+                f"{abort_after} reached at batch {i + 1}/{len(starts)}"
             )
     if strided and slot:
         table = _merge_pending(table, pending_buf[: slot * bw])
@@ -413,6 +524,7 @@ def assemble_tpu(
     return_graph: bool = False,
     emit: str = "unitigs",
     merge_stride: int | None = None,
+    stream_checkpoint_every: int = 0,
 ) -> list[str] | tuple[list[str], "object"]:
     """End-to-end single-device assembly: reads -> canonical contigs.
 
@@ -423,7 +535,12 @@ def assemble_tpu(
     compression requires odd k.
 
     checkpoint/resume_from: stage-boundary .npz checkpoint of the counted
-    k-mer table (SURVEY.md §5 checkpoint/resume).
+    k-mer table (SURVEY.md §5 checkpoint/resume). With
+    stream_checkpoint_every=N > 0, the streaming counter also snapshots
+    the carried table + batch cursor to ``checkpoint`` every N batches
+    (mid-stream checkpointing, VERDICT r2 item 7); resume_from detects a
+    cursor-carrying snapshot and continues counting from it instead of
+    skipping the stage.
 
     emit: "unitigs" (default) stops contigs at branching junctions;
     "euler" spells them from Eulerian walks (reference-parity mode,
@@ -444,7 +561,10 @@ def assemble_tpu(
             "masked_windows",
             int((~window_valid_np(reads, cfg.k)).sum()),
         )
-    if resume_from is not None:
+    resume_stream = (
+        resume_from is not None and is_stream_checkpoint(resume_from)
+    )
+    if resume_from is not None and not resume_stream:
         table = load_table(resume_from)
     else:
         with m.stage("count"):
@@ -454,6 +574,11 @@ def assemble_tpu(
                 table_capacity=table_capacity,
                 use_pallas=use_pallas,
                 merge_stride=merge_stride,
+                stream_checkpoint=(
+                    checkpoint if stream_checkpoint_every > 0 else None
+                ),
+                stream_checkpoint_every=stream_checkpoint_every,
+                resume_stream_from=resume_from if resume_stream else None,
             )
             sync(table.num_unique)
         m.count(

@@ -88,10 +88,13 @@ def _segment_reduce(
     unique = jnp.where(real_start[:, None], words_sorted, SENTINEL)
     if weights is None:
         # run lengths fall out of the compaction: carry each start's
-        # position through the 1-key compaction sort and diff neighbors
+        # position through the compaction sort and diff neighbors
         # (the runs are contiguous, sentinels sorted last) — no
         # reversed-cummin scan pass needed on the raw extraction stream.
-        unique, pos = compact_front(real_start, unique, idx)
+        # Starts ascend and are distinct, so the masked-key compaction
+        # (compact_front_sorted) drops the flag column: 3op/2key at
+        # 3.96 ns/row vs 4op/1key at 4.74 (r3 amortized microbench).
+        unique, pos = compact_front_sorted(real_start, unique, idx)
         total_valid = jnp.sum((~sent).astype(jnp.int32))
         nxt = jnp.concatenate([pos[1:], jnp.zeros(1, jnp.int32)])
         nxt = jnp.where(idx == num_unique - 1, total_valid, nxt)
@@ -99,15 +102,16 @@ def _segment_reduce(
         return unique, counts, num_unique
     # weighted (merge) path: per-run sums via neighbor-diff of the
     # EXCLUSIVE weight cumsum carried through the compaction sort — the
-    # weighted mirror of the unweighted position trick above. Keeping the
-    # sentinel run's start row in the compaction puts the total valid
-    # weight right after the last real run, so no reversed-cummin scan
-    # and no boundary gather are needed (those two were measured to
-    # dominate the merge reduce at CFG-2 scale).
+    # weighted mirror of the unweighted position trick above. Only real
+    # starts are kept: row i < num_unique-1 reads the next real start's
+    # exclusive sum, and the last real run's boundary is overridden with
+    # the explicit total valid weight, so no reversed-cummin scan and no
+    # boundary gather are needed (those two were measured to dominate
+    # the merge reduce at CFG-2 scale).
     weights = weights.astype(jnp.int32)
     excl = jnp.cumsum(weights) - weights  # exclusive cumsum per lane
     total_w = jnp.sum(jnp.where(sent, 0, weights))
-    unique, excl_c = compact_front(is_start, unique, excl)
+    unique, excl_c = compact_front_sorted(real_start, unique, excl)
     nxt = jnp.concatenate([excl_c[1:], jnp.zeros(1, jnp.int32)])
     nxt = jnp.where(idx == num_unique - 1, total_w, nxt)
     counts = jnp.where(idx < num_unique, nxt - excl_c, 0)
@@ -120,9 +124,11 @@ def compact_front(
     """Stable-compact kept rows to the front (drop rows sink, order kept).
 
     A single-key stable sort on the drop flag: kept rows keep their
-    relative (already lexicographic) order, dropped rows sink. Cheaper
-    than re-sorting on the full W-word key, and sort cost here is nearly
-    flat in payload count (tools/microbench.py).
+    relative (already lexicographic) order, dropped rows sink. Works for
+    ANY kept-row order; when kept rows are already ascending and distinct
+    use :func:`compact_front_sorted`, which drops the flag column
+    (amortized 4op/1key 4.74 ns/row vs 3op/2key 3.96, r3
+    tools/microbench_amortized.py).
     """
     w = words.shape[1]
     drop = (~keep).astype(jnp.uint32)
@@ -131,6 +137,29 @@ def compact_front(
         num_keys=1,
     )
     return (jnp.stack(out[1 : 1 + w], axis=1),) + tuple(out[1 + w :])
+
+
+def compact_front_sorted(
+    keep: jax.Array, words: jax.Array, *payloads: jax.Array
+) -> tuple[jax.Array, ...]:
+    """Compact kept rows to the front when kept rows are ALREADY in
+    ascending lexicographic order (duplicates allowed only among rows
+    masked to the sentinel).
+
+    Dropped rows are masked to the all-ones sentinel, which sorts last,
+    so sorting on the masked words themselves reproduces compact_front's
+    output with one fewer sort operand — the words must ride the sort
+    anyway, so the drop flag was a pure extra column. Callers in the
+    counting pipeline satisfy the precondition by construction: segment
+    starts / unique-table rows ascend.
+    """
+    w = words.shape[1]
+    masked = jnp.where(keep[:, None], words, SENTINEL)
+    out = jax.lax.sort(
+        tuple(masked[:, i] for i in range(w)) + payloads,
+        num_keys=w,
+    )
+    return (jnp.stack(out[:w], axis=1),) + tuple(out[w:])
 
 
 @jax.jit
@@ -283,15 +312,22 @@ def compact_table(table: CountTable) -> CountTable:
 def filter_table(table: CountTable, min_count: int) -> CountTable:
     """Coverage filter (reference C4): drop counts < min_count, recompact.
 
-    Compaction keeps the survivors sorted at the front (stable sort on the
-    drop flag), so downstream graph building sees a dense sorted table.
+    min_count <= 1 is an exact no-op: count_keys/merge output is already
+    compact-front sorted with every real row's count >= 1, so the
+    compaction sort (and its whole dispatch) is skipped.
+
+    Compaction keeps the survivors sorted at the front (table rows are
+    distinct and ascending, so the masked-key compact_front_sorted
+    applies), so downstream graph building sees a dense sorted table.
     """
+    if min_count <= 1:
+        return table
     keep = table.counts >= min_count
     n = table.words.shape[0]
     w = table.words.shape[1]
     words = jnp.where(keep[:, None], table.words, SENTINEL)
     counts = jnp.where(keep, table.counts, 0)
-    words_sorted, counts_sorted = compact_front(keep, words, counts)
+    words_sorted, counts_sorted = compact_front_sorted(keep, words, counts)
     num = jnp.sum(keep.astype(jnp.int32))
     return CountTable(
         words=words_sorted.reshape(n, w),

@@ -417,11 +417,46 @@ def _resolve_chains(prev: jax.Array, valid: jax.Array):
         head, rank, ok = _rank_sampled(prev)
         if bool(ok):
             return _finalize_chains(prev, head, rank, valid)
+    return _resolve_exact(prev, valid)
+
+
+def _resolve_exact(prev: jax.Array, valid: jax.Array):
+    """Exact path: plain doubling + adaptive cycle break + finalize."""
     anc, dist, has_cycle = _rank_pass(prev)
     if bool(has_cycle):
         prev = _break_cycles(prev, valid)
         anc, dist, _ = _rank_pass(prev)
     return _finalize_chains(prev, anc, dist, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _compress_fused_sampled(table: CountTable, k: int):
+    """Build + link + sampled rank + finalize, ONE dispatch.
+
+    Each staged dispatch pays a fixed ~32 ms roundtrip on the tunneled
+    axon platform (VERDICT r2 item 3: compress was dispatch-bound at
+    CFG-2); jit-of-jit inlines, so fusing the whole acyclic fast path
+    into one program removes three dispatch gaps + one host bool() sync
+    with zero semantic change. `ok` False (cycle / unlucky ruler gap)
+    falls back to the exact passes, same as _resolve_chains.
+    """
+    edge_words, covs, valid = _build_edges(table, k)
+    prev = _link_sortjoin(edge_words, valid, k)
+    head, rank, ok = _rank_sampled(prev)
+    uid, pos, num = _finalize_chains(prev, head, rank, valid)
+    return edge_words, covs, valid, prev, uid, pos, num, ok
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _compress_fused_exact(table: CountTable, k: int):
+    """Build + link + plain rank + finalize, one dispatch (small tables,
+    below SAMPLED_MIN_ROWS). has_cycle True triggers the host-driven
+    cycle-break rerun, identical to _resolve_exact."""
+    edge_words, covs, valid = _build_edges(table, k)
+    prev = _link_sortjoin(edge_words, valid, k)
+    anc, dist, has_cycle = _rank_pass(prev)
+    uid, pos, num = _finalize_chains(prev, anc, dist, valid)
+    return edge_words, covs, valid, prev, uid, pos, num, has_cycle
 
 
 class SpellArrays(NamedTuple):
@@ -533,9 +568,12 @@ def compress_unitigs_device(table: CountTable, k: int) -> DeviceUnitigs:
     """Filtered canonical CountTable -> unitig chain assignment (see module).
 
     Requires odd k (no palindromic k-mers, so the both-strand edge set has
-    exactly two distinct directed edges per canonical k-mer). Stages run as
-    separate dispatches: each sub-program compiles in bounded time on the
-    axon backend and faults isolate per stage.
+    exactly two distinct directed edges per canonical k-mer). The common
+    acyclic case runs as ONE fused dispatch (build + link + rank +
+    finalize): staged dispatches each pay a fixed ~32 ms roundtrip on the
+    tunneled axon backend, which dominated the CFG-2 compress wall
+    (VERDICT r2 item 3). Cycles / sampled-pass misses fall back to the
+    exact host-driven passes, bit-identically.
     """
     if k % 2 == 0:
         raise ValueError("device unitig compression requires odd k")
@@ -549,9 +587,20 @@ def compress_unitigs_device(table: CountTable, k: int) -> DeviceUnitigs:
             f"({2 * table.words.shape[0]} rows >= 2^29); "
             "reduce table capacity or use the distributed path"
         )
-    edge_words, covs, valid = _build_edges(table, k)
-    prev = _link_sortjoin(edge_words, valid, k)
-    uid, pos, num = _resolve_chains(prev, valid)
+    if 2 * table.words.shape[0] >= SAMPLED_MIN_ROWS:
+        (
+            edge_words, covs, valid, prev, uid, pos, num, ok,
+        ) = _compress_fused_sampled(table, k)
+        if not bool(ok):  # cycle or over-cap ruler gap: exact fallback
+            uid, pos, num = _resolve_exact(prev, valid)
+    else:
+        (
+            edge_words, covs, valid, prev, uid, pos, num, has_cycle,
+        ) = _compress_fused_exact(table, k)
+        if bool(has_cycle):
+            prev2 = _break_cycles(prev, valid)
+            anc, dist, _ = _rank_pass(prev2)
+            uid, pos, num = _finalize_chains(prev2, anc, dist, valid)
     return DeviceUnitigs(
         edge_words=edge_words,
         cov=covs,

@@ -112,6 +112,36 @@ def _join_cap(k_cap: int, d: int) -> int:
     return int(2 * k_cap / d * 1.6) + 128
 
 
+def comm_bytes_estimate(
+    d: int, k: int, c_shard: int, u_block: int | None = None
+) -> dict[str, int]:
+    """Static all-to-all volume of the sharded compression stages, in bytes
+    summed across all devices (SURVEY.md §5 metrics row: "all-to-all
+    volume"). Send buffers are static shapes, so the per-dispatch volume
+    is exact; the doubling loop's round count is data-dependent with early
+    exit, so its total is reported as per-round bytes + the round cap.
+    """
+    w = key_words(k)
+    k_cap = 2 * c_shard
+    cap_join = _join_cap(k_cap, d)
+    cap_pair = int(k_cap / d * 1.6) + 128
+    cap_query = int(k_cap / d * 2.0) + 128
+    cap_route = min(k_cap, int(k_cap / d * 2.0) + 128)  # route_slack=2.0
+    ub = u_block if u_block is not None else cap_route
+    return {
+        # linking: (node, tag, gid) records to node owners + prev-pointer
+        # pairs back to the successor's owner
+        "link": d * d * (cap_join * (w + 2) + cap_pair * 2) * 4,
+        # one doubling/uid query round: id queries out, [anc, aux] back
+        "query_round": d * d * cap_query * 3 * 4,
+        "query_rounds_max": max(
+            1, int(math.ceil(math.log2(max(d * k_cap, 2)))) + 1
+        ),
+        # spelling: per-unitig stats to numbering owners + base routing
+        "spell": d * d * (ub * 3 + cap_route) * 4,
+    }
+
+
 def _answer_queries(state, recv, k_cap):
     """Owner side of a query round: state rows for received global ids."""
     slot = jnp.clip(recv % k_cap, 0, k_cap - 1)

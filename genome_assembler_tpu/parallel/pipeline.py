@@ -411,6 +411,68 @@ def make_distributed_pending_merge(mesh: Mesh, rows: int, axis="d"):
 DIST_STREAM_WINDOWS = int(os.environ.get("GA_DIST_STREAM_WINDOWS", 1 << 24))
 
 
+def _a2a_count_bytes_per_step(
+    d: int, k: int, bucket_cap: int, minimizer_len: int | None
+) -> int:
+    """All-to-all volume of one counting routing step: the static send
+    buffer is [D, bucket_cap, cols] int32 per device, exchanged once, so
+    the logical wire volume summed across devices is D x that (SURVEY.md
+    §5 metrics row; VERDICT r2 item 6). Zero when d == 1 (routing is
+    skipped entirely). The minimizer path's smaller record buffer is what
+    makes its >2.5x wire saving observable in run metrics.
+    """
+    if d == 1:
+        return 0
+    if minimizer_len is not None:
+        from ..ops.superkmer import span_words
+
+        cols = span_words(k) + 1
+    else:
+        cols = key_words(k)
+    return d * d * bucket_cap * cols * 4
+
+
+def save_sharded_stream_checkpoint(
+    words, counts, num, ovf, path: str, *, next_batch: int,
+    params: dict[str, int],
+) -> None:
+    """Mid-stream checkpoint of the sharded streaming counter: per-shard
+    table quadruple + the batch cursor (VERDICT r2 item 7). ``params``
+    pins everything byte-identity depends on; resume refuses a mismatch.
+    """
+    from ..utils.jaxenv import to_host
+
+    np.savez_compressed(
+        path,
+        words=to_host(words),
+        counts=to_host(counts),
+        num=to_host(num),
+        ovf=to_host(ovf),
+        next_batch=np.asarray(next_batch),
+        layout=np.asarray("hash_shards_stream"),
+        **{k: np.asarray(v) for k, v in params.items()},
+    )
+
+
+def is_sharded_stream_checkpoint(path: str) -> bool:
+    with np.load(path) as z:
+        return (
+            "layout" in z.files and str(z["layout"]) == "hash_shards_stream"
+        )
+
+
+def load_sharded_stream_checkpoint(path: str):
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in ("words", "counts", "num", "ovf")}
+        params = {
+            k: int(z[k])
+            for k in z.files
+            if k not in ("words", "counts", "num", "ovf", "next_batch",
+                         "layout")
+        }
+        return arrays, int(z["next_batch"]), params
+
+
 def _bucket_cap_for(windows: int, d: int, k: int,
                     minimizer_len: int | None) -> int:
     """Routing-bucket capacity for one device's window count + skew slack."""
@@ -428,6 +490,9 @@ def _run_distributed_stream(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh,
     bucket_cap: int | None, axis, minimizer_len: int | None,
     table_capacity: int | None, merge_stride: int | None = None,
+    metrics=None, stream_checkpoint: str | None = None,
+    stream_checkpoint_every: int = 0,
+    resume_stream_from: str | None = None,
 ):
     """Streamed counterpart of _run_distributed_step: batches of
     cfg.batch_reads global reads stream through
@@ -442,6 +507,15 @@ def _run_distributed_stream(
     per-shard table merge: routing-only steps append raw keys to a
     pending buffer and the two cap-row merge sorts run once per stride
     batches (bit-identical; see models.pipeline.count_reads_device).
+
+    metrics records wire/link volume per run: a2a_bytes_count (the
+    all-to-all routing volume, all devices) and h2d_bytes_reads.
+
+    stream_checkpoint + stream_checkpoint_every=N snapshot the per-shard
+    table quadruple and batch cursor every N batches at merge boundaries;
+    resume_stream_from continues a killed run byte-identically (same
+    mesh size / k / batching / capacity / stride — enforced).
+    GA_STREAM_ABORT_AFTER_BATCH=<n> injects a failure after n batches.
     """
     from ..ops.count_jax import snug_capacity
     from ..utils.dna import has_ambiguous, pack_invalid_mask
@@ -463,6 +537,16 @@ def _run_distributed_stream(
     any_invalid = has_ambiguous(reads)
     stride = merge_stride or int(os.environ.get("GA_MERGE_STRIDE", "1"))
     strided = stride > 1 and nb > 1
+    a2a_step = _a2a_count_bytes_per_step(d, cfg.k, bucket_cap, minimizer_len)
+    ck_params = {
+        "d": d,
+        "k": cfg.k,
+        "batch_total": batch_total,
+        "c_shard": c_shard,
+        "stride": stride if strided else 1,
+        "total_reads": b,
+        "bucket_cap": bucket_cap,
+    }
     row_sharding = NamedSharding(mesh, P(axis))
     sharding3 = NamedSharding(mesh, P(axis, None, None))
     if strided:
@@ -485,13 +569,31 @@ def _run_distributed_stream(
             mesh, cfg.k, per_dev, length, bucket_cap, axis,
             with_mask=any_invalid, minimizer_len=minimizer_len,
         )
-    words = jax.device_put(
-        np.full((d * c_shard, w), 0xFFFFFFFF, dtype=np.uint32),
-        NamedSharding(mesh, P(axis, None)),
-    )
-    counts = jax.device_put(np.zeros(d * c_shard, np.int32), row_sharding)
-    num = jax.device_put(np.zeros(d, np.int32), row_sharding)
-    ovf = jax.device_put(np.zeros(d, bool), row_sharding)
+    start_batch = 0
+    if resume_stream_from is not None:
+        arrays, start_batch, got = load_sharded_stream_checkpoint(
+            resume_stream_from
+        )
+        if got != ck_params:
+            raise ValueError(
+                f"sharded mid-stream checkpoint mismatch: saved {got}, "
+                f"this run has {ck_params} — resume requires identical "
+                "mesh size/k/batching/capacity/stride/read-set"
+            )
+        words = jax.device_put(
+            arrays["words"], NamedSharding(mesh, P(axis, None))
+        )
+        counts = jax.device_put(arrays["counts"], row_sharding)
+        num = jax.device_put(arrays["num"], row_sharding)
+        ovf = jax.device_put(arrays["ovf"], row_sharding)
+    else:
+        words = jax.device_put(
+            np.full((d * c_shard, w), 0xFFFFFFFF, dtype=np.uint32),
+            NamedSharding(mesh, P(axis, None)),
+        )
+        counts = jax.device_put(np.zeros(d * c_shard, np.int32), row_sharding)
+        num = jax.device_put(np.zeros(d, np.int32), row_sharding)
+        ovf = jax.device_put(np.zeros(d, bool), row_sharding)
 
     def upload(i):
         start = i * batch_total
@@ -509,21 +611,27 @@ def _run_distributed_stream(
             b - start - per_dev * np.arange(d), 0, per_dev
         ).astype(np.int32)
         mask_dev = None
+        h2d = packed.nbytes + nv.nbytes
         if any_invalid:
             m_ = pack_invalid_mask(rows)
             if m_ is None:  # locally clean batch: constant jit signature
                 m_ = np.zeros((rows.shape[0], (length + 7) // 8), np.uint8)
+            h2d += m_.nbytes
             mask_dev = jax.device_put(
                 m_.reshape(d, per_dev, -1), sharding3
             )
+        if metrics is not None:
+            metrics.count("h2d_bytes_reads", h2d)
         return (
             jax.device_put(packed.reshape(d, per_dev, -1), sharding3),
             jax.device_put(nv, row_sharding),
             mask_dev,
         )
 
-    pending = upload(0)
-    for i in range(nb):
+    abort_after = int(os.environ.get("GA_STREAM_ABORT_AFTER_BATCH", "0"))
+    since_ckpt = 0
+    pending = upload(start_batch)
+    for i in range(start_batch, nb):
         reads_dev, nv_dev, mask_dev = pending
         if i + 1 < nb:
             pending = upload(i + 1)  # DMA rides under batch i's compute
@@ -546,6 +654,27 @@ def _run_distributed_stream(
             words, counts, num, ovf = step(
                 words, counts, num, ovf, reads_dev, nv_dev
             )
+        if metrics is not None:
+            metrics.count("a2a_bytes_count", a2a_step)
+        since_ckpt += 1
+        at_merge_boundary = (not strided) or slot == 0
+        if (
+            stream_checkpoint is not None
+            and stream_checkpoint_every > 0
+            and since_ckpt >= stream_checkpoint_every
+            and at_merge_boundary
+            and i + 1 < nb
+        ):
+            save_sharded_stream_checkpoint(
+                words, counts, num, ovf, stream_checkpoint,
+                next_batch=i + 1, params=ck_params,
+            )
+            since_ckpt = 0
+        if abort_after and (i + 1 - start_batch) >= abort_after:
+            raise RuntimeError(
+                f"fault injection: GA_STREAM_ABORT_AFTER_BATCH="
+                f"{abort_after} reached at batch {i + 1}/{nb}"
+            )
     if strided and slot:
         merge_tail = make_distributed_pending_merge(mesh, slot * recv, axis)
         words, counts, num, ovf = merge_tail(words, counts, num, ovf, pend)
@@ -561,6 +690,9 @@ def _run_distributed_step(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh,
     bucket_cap: int | None, axis, minimizer_len: int | None = None,
     table_capacity: int | None = None, merge_stride: int | None = None,
+    metrics=None, stream_checkpoint: str | None = None,
+    stream_checkpoint_every: int = 0,
+    resume_stream_from: str | None = None,
 ):
     """Shared front half of the distributed counters: pad + shard + pack
     the reads, build/run the jitted step, check routing overflow.
@@ -568,16 +700,24 @@ def _run_distributed_step(
     Streams (bounded per-device HBM and compile shapes) once the
     per-device window count exceeds DIST_STREAM_WINDOWS; one fused step
     below it. Returns (words, counts, num_unique) device arrays (see
-    make_distributed_count).
+    make_distributed_count). metrics/stream_checkpoint*: see
+    _run_distributed_stream (the one-shot path records its wire volume
+    but has no mid-stream state to checkpoint).
     """
     from .mesh import axis_size
 
     d = axis_size(mesh, axis)
     b, length = reads.shape
-    if -(-b // d) * (length - cfg.k + 1) > DIST_STREAM_WINDOWS:
+    if (
+        -(-b // d) * (length - cfg.k + 1) > DIST_STREAM_WINDOWS
+        or resume_stream_from is not None
+    ):
         return _run_distributed_stream(
             reads, cfg, mesh, bucket_cap, axis, minimizer_len,
-            table_capacity, merge_stride,
+            table_capacity, merge_stride, metrics=metrics,
+            stream_checkpoint=stream_checkpoint,
+            stream_checkpoint_every=stream_checkpoint_every,
+            resume_stream_from=resume_stream_from,
         )
     per_dev = -(-b // d)
     padded = per_dev * d
@@ -606,6 +746,15 @@ def _run_distributed_step(
         mask_dev = jax.device_put(
             inv_mask.reshape(d, per_dev, inv_mask.shape[1]), sharding
         )
+    if metrics is not None:
+        metrics.count(
+            "a2a_bytes_count",
+            _a2a_count_bytes_per_step(d, cfg.k, bucket_cap, minimizer_len),
+        )
+        metrics.count(
+            "h2d_bytes_reads",
+            packed.nbytes + (inv_mask.nbytes if inv_mask is not None else 0),
+        )
     words, counts, num_unique, overflow = step(reads_dev, n_valid, mask_dev)
     if bool(overflow):
         raise RuntimeError(
@@ -618,7 +767,7 @@ def distributed_count_to_host(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
     bucket_cap: int | None = None, axis=None,
     minimizer_len: int | None = None, table_capacity: int | None = None,
-    merge_stride: int | None = None,
+    merge_stride: int | None = None, metrics=None,
 ) -> dict[str, int]:
     """Count reads over the mesh; gather the global table as a host dict."""
     from .mesh import axis_size, mesh_axes
@@ -628,12 +777,15 @@ def distributed_count_to_host(
     words, counts, num_unique = _run_distributed_step(
         reads, cfg, mesh, bucket_cap, axis, minimizer_len,
         table_capacity=table_capacity, merge_stride=merge_stride,
+        metrics=metrics,
     )
     from ..utils.jaxenv import to_host
 
     words = to_host(words).reshape(d, -1, key_words(cfg.k))
     counts = to_host(counts).reshape(d, -1)
     num_unique = to_host(num_unique)
+    if metrics is not None:
+        metrics.count("d2h_bytes_table", words.nbytes + counts.nbytes)
     merged: dict[str, int] = {}
     for dev in range(d):
         n = int(num_unique[dev])
@@ -645,7 +797,10 @@ def distributed_count_table(
     reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh, *,
     bucket_cap: int | None = None, axis=None,
     minimizer_len: int | None = None, table_capacity: int | None = None,
-    merge_stride: int | None = None,
+    merge_stride: int | None = None, metrics=None,
+    stream_checkpoint: str | None = None,
+    stream_checkpoint_every: int = 0,
+    resume_stream_from: str | None = None,
 ) -> "count_jax.CountTable":
     """Count reads over the mesh; merge shard tables into one CountTable.
 
@@ -660,6 +815,9 @@ def distributed_count_table(
     words, counts, _ = _run_distributed_step(
         reads, cfg, mesh, bucket_cap, axis, minimizer_len,
         table_capacity=table_capacity, merge_stride=merge_stride,
+        metrics=metrics, stream_checkpoint=stream_checkpoint,
+        stream_checkpoint_every=stream_checkpoint_every,
+        resume_stream_from=resume_stream_from,
     )
     # Gather shard tables and re-count with multiplicity weights: shard
     # keys are disjoint, so this is a pure re-sort into global order.
@@ -670,18 +828,20 @@ def distributed_count_table(
 
     words_h = np.ascontiguousarray(to_host(words))
     counts_h = np.ascontiguousarray(to_host(counts))
+    if metrics is not None:
+        metrics.count("d2h_bytes_table", words_h.nbytes + counts_h.nbytes)
     return count_jax.count_keys(words_h, counts_h)
 
 
 def _shard_filter_compact(mesh, axis, min_count: int):
     """Per-shard coverage filter + front-compaction (zero comms)."""
-    from ..ops.count_jax import compact_front
+    from ..ops.count_jax import compact_front_sorted
 
     def local(words, counts):
         keep = counts >= min_count
         words2 = jnp.where(keep[:, None], words, SENTINEL)
         counts2 = jnp.where(keep, counts, 0)
-        words2, counts2 = compact_front(keep, words2, counts2)
+        words2, counts2 = compact_front_sorted(keep, words2, counts2)
         return words2, counts2, jnp.sum(keep.astype(jnp.int32))[None]
 
     return jax.jit(shard_map(
@@ -753,6 +913,7 @@ def assemble_distributed_sharded(
     minimizer_len: int | None = None,
     table_capacity: int | None = None,
     merge_stride: int | None = None,
+    stream_checkpoint_every: int = 0,
 ) -> list[str]:
     """Fully sharded assembly: the graph never gathers onto one device.
 
@@ -763,7 +924,11 @@ def assemble_distributed_sharded(
     odd k (device compression invariant, ops.unitig_jax).
 
     checkpoint/resume_from: the pre-filter hash-sharded count table as
-    .npz (mesh size and k must match on resume).
+    .npz (mesh size and k must match on resume). With
+    stream_checkpoint_every=N > 0, the streaming counter also snapshots
+    the table shards + batch cursor to ``checkpoint`` every N batches;
+    resume_from detects a cursor-carrying snapshot and continues counting
+    from it (VERDICT r2 item 7).
     """
     from ..host.simplify_arrays import simplify_arrays_to_graph
     from ..models.pipeline import auto_min_count
@@ -788,7 +953,11 @@ def assemble_distributed_sharded(
     m.count("kmers", reads.shape[0] * (reads.shape[1] - cfg.k + 1))
     m.count("hosts", num_hosts(mesh))
 
-    if resume_from is not None:
+    resume_stream = (
+        resume_from is not None
+        and is_sharded_stream_checkpoint(resume_from)
+    )
+    if resume_from is not None and not resume_stream:
         words, counts = load_sharded_table(
             resume_from, mesh, axis, d, cfg.k
         )
@@ -797,6 +966,12 @@ def assemble_distributed_sharded(
             words, counts, num_unique = _run_distributed_step(
                 reads, cfg, mesh, bucket_cap, axis, minimizer_len,
                 table_capacity=table_capacity, merge_stride=merge_stride,
+                metrics=m,
+                stream_checkpoint=(
+                    checkpoint if stream_checkpoint_every > 0 else None
+                ),
+                stream_checkpoint_every=stream_checkpoint_every,
+                resume_stream_from=resume_from if resume_stream else None,
             )
             _sync(counts[:1])
     if checkpoint is not None:
@@ -830,6 +1005,13 @@ def assemble_distributed_sharded(
             c_shard = new_c
 
     with m.stage("compress"):
+        from .compress import comm_bytes_estimate
+
+        est = comm_bytes_estimate(d, cfg.k, c_shard)
+        m.count("a2a_bytes_compress_link", est["link"])
+        m.count("a2a_bytes_compress_query_round", est["query_round"])
+        m.count("a2a_compress_query_rounds_max", est["query_rounds_max"])
+        m.count("a2a_bytes_spell", est["spell"])
         compress = make_sharded_compress(mesh, cfg.k, c_shard, axis)
         (
             valid, uid, pos, cov, last_base, heads,
@@ -878,6 +1060,7 @@ def assemble_distributed(
     minimizer_len: int | None = None,
     table_capacity: int | None = None,
     merge_stride: int | None = None,
+    stream_checkpoint_every: int = 0,
 ) -> list[str]:
     """End-to-end multi-device assembly: reads -> canonical contigs.
 
@@ -907,14 +1090,25 @@ def assemble_distributed(
         from ..host.simplify_arrays import simplify_arrays_to_graph
         from ..ops.unitig_jax import compress_unitigs_device
 
-        if resume_from is not None:
+        resume_stream = (
+            resume_from is not None
+            and is_sharded_stream_checkpoint(resume_from)
+        )
+        if resume_from is not None and not resume_stream:
             table = load_table(resume_from)
         else:
             with m.stage("count"):
                 table = distributed_count_table(
                     reads, cfg, mesh, minimizer_len=minimizer_len,
                     table_capacity=table_capacity,
-                    merge_stride=merge_stride,
+                    merge_stride=merge_stride, metrics=m,
+                    stream_checkpoint=(
+                        checkpoint if stream_checkpoint_every > 0 else None
+                    ),
+                    stream_checkpoint_every=stream_checkpoint_every,
+                    resume_stream_from=(
+                        resume_from if resume_stream else None
+                    ),
                 )
                 sync(table.num_unique)
         if checkpoint is not None:
@@ -942,6 +1136,7 @@ def assemble_distributed(
         counts = distributed_count_to_host(
             reads, cfg, mesh, minimizer_len=minimizer_len,
             table_capacity=table_capacity, merge_stride=merge_stride,
+            metrics=m,
         )
     min_count = cfg.min_count
     if min_count == 0:
