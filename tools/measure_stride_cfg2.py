@@ -47,6 +47,9 @@ def log(msg):
 
 
 def main():
+    results = {"probe": {}, "stream": {}, "config": {
+        "genome": GENOME, "coverage": COVERAGE, "k": K, "reps": REPS,
+    }}
     t_start = time.time()
     genome = simulate_genome(GENOME, seed=1030)
     rs = simulate_reads(genome, coverage=COVERAGE, read_len=100,
@@ -93,6 +96,12 @@ def main():
             f"{best/rows*1e9:5.2f} ns/row  amortized/batch "
             f"{best/p*1e3:7.1f} ms  (compile {compile_s:.0f}s)"
         )
+        results["probe"][str(p)] = {
+            "rows": rows, "best_s": round(best, 4),
+            "ns_per_row": round(best / rows * 1e9, 3),
+            "amortized_per_batch_s": round(best / p, 4),
+            "compile_s": round(compile_s, 1),
+        }
         del keys, out
 
     # --- part 2: streamed CFG-2 counting end-to-end per stride ---
@@ -113,8 +122,22 @@ def main():
             f"({reads.shape[0]*70/best/1e6:.1f}M windows/s, transfers "
             f"included)  cold {cold:.0f}s  unique={int(t.num_unique)/1e6:.2f}M"
         )
+        results["stream"][str(stride)] = {
+            "warm_s": round(best, 3),
+            "windows_per_s": round(reads.shape[0] * 70 / best, 1),
+            "cold_s": round(cold, 1),
+            "unique": int(t.num_unique),
+        }
         del t
     log(f"total {time.time()-t_start:.0f}s")
+    path = os.path.join(
+        os.path.dirname(__file__), "measure_stride_cfg2_results.json"
+    )
+    with open(path, "w") as fh:
+        import json
+
+        json.dump(results, fh, indent=2)
+    log(f"results -> {path}")
 
 
 if __name__ == "__main__":
