@@ -38,6 +38,16 @@ import os
 # HBM headroom, not preference; override via GA_SINGLE_SHOT_WINDOWS.
 SINGLE_SHOT_WINDOWS = int(os.environ.get("GA_SINGLE_SHOT_WINDOWS", 1 << 27))
 
+# Streaming merges switch to the hash-bucketed table (ops.bucketed) when
+# the per-merge monolithic sort would exceed this many rows — the regime
+# where lax.sort degrades super-linearly (~13 ns/row at 81M vs 3.96 at
+# 17M, tools/measure_stride_cfg2_results.json) while batched bucket
+# sorts stay at 1.5-2.1 ns/row (tools/probe_batched_merge_results.json).
+# GA_BUCKETED=1/0 forces it on/off; "auto" (default) applies this bound.
+BUCKETED_MIN_MERGE_ROWS = int(
+    os.environ.get("GA_BUCKETED_MIN_MERGE_ROWS", 1 << 25)
+)
+
 
 def _extract_keys(reads, k, n_valid, use_pallas, read_len, inv_mask):
     """Shared extraction preamble of _count_batch and _stream_step: unpack
@@ -95,6 +105,29 @@ def _count_batch(
             counts=table.counts[:out_cap],
             num_unique=jnp.minimum(table.num_unique, out_cap),
             overflow=table.overflow | (table.num_unique > out_cap),
+        )
+    elif out_cap is not None and out_cap > table.words.shape[0]:
+        # pad to the exact streaming-table capacity: the first streamed
+        # batch counts directly into the table (no empty-table merge —
+        # that merge's two capacity-row sorts are pure sentinel work,
+        # ~2*cap*4 ns saved per stream, 10x that beyond the sort cliff)
+        from ..ops.kmer_jax import SENTINEL
+
+        pad = out_cap - table.words.shape[0]
+        table = count_jax.CountTable(
+            words=jnp.concatenate(
+                [
+                    table.words,
+                    jnp.full((pad, table.words.shape[1]), SENTINEL,
+                             jnp.uint32),
+                ],
+                axis=0,
+            ),
+            counts=jnp.concatenate(
+                [table.counts, jnp.zeros(pad, jnp.int32)]
+            ),
+            num_unique=table.num_unique,
+            overflow=table.overflow,
         )
     return table
 
@@ -176,6 +209,27 @@ def _stream_step(
             overflow=batch.overflow | (batch.num_unique > out_cap),
         )
     return count_jax.merge_tables(table, batch)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "use_pallas", "read_len", "m"),
+    donate_argnums=(0,),
+)
+def _stream_step_bucketed(
+    bt, reads, k, n_valid, use_pallas=False, read_len=None, inv_mask=None,
+    *, m,
+):
+    """Fused bucketed streaming step: extract + route + batched merge in
+    one dispatch (ops.bucketed.merge_raw_keys_bucketed). Same semantics
+    as _stream_step with merge_raw=True; the running table keeps the
+    hash-bucketed layout so every bulk sort runs at batched-shape
+    throughput regardless of table capacity (the monolithic merge sort
+    turns super-linear past ~26M rows on this platform)."""
+    from ..ops import bucketed
+
+    keys = _extract_keys(reads, k, n_valid, use_pallas, read_len, inv_mask)
+    return bucketed.merge_raw_keys_bucketed(bt, keys, m=m)
 
 
 def save_stream_checkpoint(
@@ -301,7 +355,6 @@ def count_reads_device(
         # the tail) — otherwise extract_canonical_flat_pallas raises
         batch = -(-batch // tile) * tile
     padded = -(-reads.shape[0] // batch) * batch
-    table = count_jax.empty_table(capacity, key_words(cfg.k))
 
     def host_prep(start):
         # pad only the final short batch — padding the whole read array
@@ -340,6 +393,28 @@ def count_reads_device(
     starts = list(range(0, padded, batch))
     stride = merge_stride or int(os.environ.get("GA_MERGE_STRIDE", "1"))
     strided = stride > 1 and len(starts) > 1
+    bw = batch * (length - cfg.k + 1)
+    merge_windows = (stride if strided else 1) * bw
+    env_bucketed = os.environ.get("GA_BUCKETED", "auto")
+    if env_bucketed == "auto":
+        use_bucketed = capacity + merge_windows >= BUCKETED_MIN_MERGE_ROWS
+    else:
+        use_bucketed = env_bucketed == "1"
+    w = key_words(cfg.k)
+    if use_bucketed:
+        from ..ops import bucketed as bucketed_mod
+
+        nb = int(os.environ.get("GA_BUCKETS", "256"))
+        cb, m_seg = bucketed_mod.bucket_geometry(
+            capacity,
+            merge_windows,
+            nb=nb,
+            cb_slack=float(os.environ.get("GA_BUCKET_SLACK", "1.25")),
+            m_slack=float(os.environ.get("GA_BUCKET_BATCH_SLACK", "1.5")),
+        )
+        table = bucketed_mod.empty_bucketed(nb, cb, w)
+    else:
+        table = count_jax.empty_table(capacity, w)
     # everything byte-identity depends on, pinned into mid-stream ckpts
     ck_params = {
         "k": cfg.k,
@@ -347,7 +422,10 @@ def count_reads_device(
         "capacity": capacity,
         "stride": stride if strided else 1,
         "total_reads": b,
+        "bucketed": int(use_bucketed),
     }
+    if use_bucketed:
+        ck_params.update({"nb": nb, "cb": cb, "m": m_seg})
     start_idx = 0
     if resume_stream_from is not None:
         ck_table, next_start, got = load_stream_checkpoint(resume_stream_from)
@@ -357,12 +435,20 @@ def count_reads_device(
                 f"has {ck_params} — resume requires identical k/batch/"
                 "capacity/stride/read-set"
             )
-        table = count_jax.CountTable(
-            words=jnp.asarray(ck_table.words),
-            counts=jnp.asarray(ck_table.counts),
-            num_unique=jnp.asarray(ck_table.num_unique),
-            overflow=jnp.asarray(ck_table.overflow),
-        )
+        if use_bucketed:
+            table = bucketed_mod.BucketedTable(
+                words=jnp.asarray(ck_table.words),
+                counts=jnp.asarray(ck_table.counts),
+                num_unique=jnp.asarray(ck_table.num_unique),
+                overflow=jnp.asarray(ck_table.overflow),
+            )
+        else:
+            table = count_jax.CountTable(
+                words=jnp.asarray(ck_table.words),
+                counts=jnp.asarray(ck_table.counts),
+                num_unique=jnp.asarray(ck_table.num_unique),
+                overflow=jnp.asarray(ck_table.overflow),
+            )
         start_idx = next_start // batch
     abort_after = int(os.environ.get("GA_STREAM_ABORT_AFTER_BATCH", "0"))
     since_ckpt = 0
@@ -375,9 +461,8 @@ def count_reads_device(
         # previous merge round are never re-merged.
         from ..ops.kmer_jax import SENTINEL
 
-        bw = batch * (length - cfg.k + 1)
         pending_buf = jnp.full(
-            (stride * bw, key_words(cfg.k)), SENTINEL, dtype=jnp.uint32
+            (stride * bw, w), SENTINEL, dtype=jnp.uint32
         )
         slot = 0
     pending_io = upload(starts[start_idx])
@@ -397,8 +482,28 @@ def count_reads_device(
             )
             slot += 1
             if slot == stride:
-                table = _merge_pending(table, pending_buf)
+                if use_bucketed:
+                    table = bucketed_mod.merge_raw_keys_bucketed(
+                        table, pending_buf, m=m_seg
+                    )
+                else:
+                    table = _merge_pending(table, pending_buf)
                 slot = 0
+        elif use_bucketed:
+            table = _stream_step_bucketed(
+                table, chunk_dev, cfg.k, n_valid, use_pallas,
+                read_len=length, inv_mask=bm_dev, m=m_seg,
+            )
+        elif i == start_idx and resume_stream_from is None:
+            # batch-1 fast path: the first batch counts straight into a
+            # fresh table (padded to capacity) — merging into an all-
+            # sentinel table would pay two capacity-row sorts for
+            # nothing (bit-identical; merge_raw_keys of an empty table
+            # IS count + truncate)
+            table = _count_batch(
+                chunk_dev, cfg.k, n_valid, use_pallas,
+                out_cap=capacity, read_len=length, inv_mask=bm_dev,
+            )
         else:
             table = _stream_step(
                 table, chunk_dev, cfg.k, n_valid, use_pallas,
@@ -426,7 +531,14 @@ def count_reads_device(
                 f"{abort_after} reached at batch {i + 1}/{len(starts)}"
             )
     if strided and slot:
-        table = _merge_pending(table, pending_buf[: slot * bw])
+        if use_bucketed:
+            table = bucketed_mod.merge_raw_keys_bucketed(
+                table, pending_buf[: slot * bw], m=m_seg
+            )
+        else:
+            table = _merge_pending(table, pending_buf[: slot * bw])
+    if use_bucketed:
+        table = bucketed_mod.flatten_bucketed(table, capacity=capacity)
     return table
 
 

@@ -271,19 +271,27 @@ def multiplicity_histogram(table: CountTable) -> jax.Array:
     return (pos[1:] - pos[:-1]).astype(jnp.int32)
 
 
-def snug_capacity(n: int, floor: int = 1 << 16) -> int:
+def snug_capacity(n: int, floor: int = 1 << 16, fine: bool = False) -> int:
     """Smallest grid capacity >= n, grid = {1, 1.25, 1.5, 1.75} x 2^k.
 
     Table capacities are compile-time shapes and axon compiles cost
     minutes, so capacities snap to a coarse geometric grid: at most 4
     variants per power of two, <= 25% padding overhead.
+
+    fine=True switches to a 1/16-step grid (<= 6.25% padding, 16
+    variants per octave) — for the POST-count compacted table, whose
+    padding rows ride every graph-stage sort and doubling gather
+    (coarse-grid CFG-2: 5.24M rows carrying 4.64M uniques = 13% dead
+    work in compress/spell). Counting capacities stay coarse: they are
+    chosen before the data is seen, so reuse across runs matters more.
     """
     if n <= floor:
         return floor
     p = 1 << (n - 1).bit_length() - 1  # largest power of two < n (n > 1)
-    for num in (5, 6, 7):
-        if n <= p * num // 4:
-            return p * num // 4
+    denom, nums = (16, range(17, 33)) if fine else (4, (5, 6, 7, 8))
+    for num in nums:
+        if n <= p * num // denom:
+            return p * num // denom
     return 2 * p
 
 
@@ -297,7 +305,7 @@ def compact_table(table: CountTable) -> CountTable:
     graph stage proportionally. No-op when already snug.
     """
     num = int(table.num_unique)
-    cap = snug_capacity(num)
+    cap = snug_capacity(num, fine=True)
     if cap >= table.words.shape[0]:
         return table
     return CountTable(

@@ -180,25 +180,41 @@ def _link_sortjoin(edge_words: jax.Array, valid: jax.Array, k: int):
     e, w = edge_words.shape
     pre = prefix_node(edge_words, k)
     suf = suffix_node(edge_words, k)
-    # invalid lanes: pin both node keys to the sentinel (they form one
-    # shared run whose outdeg == indeg == #invalid != 1, and are excluded
-    # explicitly below as well)
-    pre = jnp.where(valid[:, None], pre, SENTINEL)
-    suf = jnp.where(valid[:, None], suf, SENTINEL)
+    # The pre/suf tag rides INSIDE the node key's spare low bit instead
+    # of its own sort operand: node keys occupy 2(k-1) of the 32W key
+    # bits and 2k <= 32W always, so (node << 1) | tag fits, compares
+    # identically to (node, tag), and drops the sort from 4 operands to
+    # 3 (amortized 4.74 -> 3.96 ns/row, tools/microbench_amortized.py)
+    # — the link sort is the second-largest bulk sort in the pipeline.
+    from .words_jax import shift_left_words, shift_right_words
 
+    pre_p = shift_left_words(pre, 1)
+    suf_p = shift_left_words(suf, 1)
+    suf_p = suf_p.at[:, -1].set(suf_p[:, -1] | jnp.uint32(1))
     ids = jnp.arange(e, dtype=jnp.int32)
-    keys = jnp.concatenate([pre, suf], axis=0)
-    tag = jnp.concatenate(
-        [jnp.zeros(e, jnp.uint32), jnp.ones(e, jnp.uint32)]
-    )
+    keys = jnp.concatenate([pre_p, suf_p], axis=0)
+    # invalid lanes: pin the packed key to the sentinel (they form one
+    # shared run whose outdeg == indeg == #invalid != 1, and are excluded
+    # explicitly below as well); a real packed key can never equal the
+    # sentinel — its top 32W - 2k + 1 >= 1 bits are zero
+    valid2 = jnp.concatenate([valid, valid])
+    keys = jnp.where(valid2[:, None], keys, SENTINEL)
     payload = jnp.concatenate([ids, ids])
     ops = jax.lax.sort(
-        tuple(keys[:, i] for i in range(w)) + (tag, payload),
-        num_keys=w + 1,
+        tuple(keys[:, i] for i in range(w)) + (payload,),
+        num_keys=w,
     )
-    key_s = jnp.stack(ops[:w], axis=1)
-    is_pre = ops[w] == 0
-    pay_s = ops[w + 1]
+    packed_s = jnp.stack(ops[:w], axis=1)
+    pay_s = ops[w]
+    sent_rows = _eq_rows(
+        packed_s,
+        jnp.broadcast_to(
+            jnp.full((1, w), SENTINEL, jnp.uint32), packed_s.shape
+        ),
+    )
+    is_pre = (packed_s[:, -1] & jnp.uint32(1)) == 0
+    key_s = shift_right_words(packed_s, 1)
+    key_s = jnp.where(sent_rows[:, None], SENTINEL, key_s)
     good, succ = join_scan(key_s, is_pre, pay_s)
     # prev[successor] = this suffix lane's edge; indices unique since the
     # successor's node has indeg == 1

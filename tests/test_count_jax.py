@@ -208,3 +208,16 @@ def test_compact_table_preserves_counts_and_order():
     # idempotent
     again = compact_table(compacted)
     assert again.words.shape == compacted.words.shape
+
+
+def test_snug_capacity_fine_grid():
+    from genome_assembler_tpu.ops.count_jax import snug_capacity
+
+    floor = 1 << 16
+    assert snug_capacity(0, fine=True) == floor
+    for n in [floor + 1, 4_641_652, 10_000_001, (1 << 22) + 7]:
+        cap = snug_capacity(n, fine=True)
+        assert cap >= n
+        assert cap <= snug_capacity(n)  # never coarser than the 1/4 grid
+        assert (cap - n) / n <= 0.0626  # <= 6.25% padding
+    assert snug_capacity(1 << 20, fine=True) == 1 << 20
