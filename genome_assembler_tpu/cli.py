@@ -13,6 +13,7 @@ SURVEY.md §6).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -151,6 +152,11 @@ def cmd_assemble(args) -> int:
 
     if getattr(args, "merge_stride", None) is not None and args.merge_stride < 1:
         raise SystemExit("--merge-stride must be >= 1")
+    if getattr(args, "bucketed", None) is not None:
+        # the streaming counter reads GA_BUCKETED at call time
+        os.environ["GA_BUCKETED"] = {
+            "auto": "auto", "on": "1", "off": "0"
+        }[args.bucketed]
     if args.backend != "oracle":
         from .utils.jaxenv import setup
 
@@ -358,6 +364,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reads per device batch for the streaming counter "
                     "(default 262144 — larger fused batches measured slower "
                     "on this backend; see RESULTS.md sizing rules)")
+    pa.add_argument("--bucketed", choices=["auto", "on", "off"],
+                    default=None,
+                    help="hash-bucketed streaming merge (tpu backend): "
+                    "batched bucket sorts replace the monolithic merge "
+                    "sort, which turns super-linear past ~26M rows. auto "
+                    "(default) enables it when a merge would exceed that; "
+                    "equivalent env: GA_BUCKETED")
     pa.add_argument("--merge-stride", type=int, default=None,
                     help="streaming counter merge cadence: extraction/"
                     "routing appends this many batches of raw keys to a "

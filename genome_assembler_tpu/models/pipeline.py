@@ -549,7 +549,10 @@ def table_to_host_counts(
     if bool(table.overflow):
         raise RuntimeError(
             "k-mer table overflow: unique k-mers exceeded table capacity; "
-            "rerun with a larger table_capacity"
+            "rerun with a larger table_capacity (under the bucketed "
+            "streaming merge, extreme per-key multiplicity skew can also "
+            "overflow one hash bucket — GA_BUCKETED=0 or a larger "
+            "GA_BUCKET_SLACK / GA_BUCKET_BATCH_SLACK)"
         )
     num = int(table.num_unique)
     words = np.asarray(table.words)[:num]
@@ -714,7 +717,9 @@ def assemble_tpu(
 
         if bool(table.overflow):
             raise RuntimeError(
-                "k-mer table overflow: rerun with a larger table_capacity"
+                "k-mer table overflow: rerun with a larger table_capacity "
+                "(or GA_BUCKETED=0 / larger GA_BUCKET_SLACK if the "
+                "bucketed streaming merge was active)"
             )
         with m.stage("compress"):
             dev = compress_unitigs_device(table, cfg.k)
