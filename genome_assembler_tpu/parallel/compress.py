@@ -55,7 +55,13 @@ from ..ops.count_jax import CountTable, compact_front, sort_by_words
 from ..ops.hash import mix_words
 from ..ops.kmer_jax import SENTINEL
 from ..ops.unitig_jax import SAMPLE_STRIDE, SAMPLED_MAX_ROUNDS
-from ..ops.words_jax import prefix_node, revcomp_words, suffix_node
+from ..ops.words_jax import (
+    prefix_node,
+    revcomp_words,
+    shift_left_words,
+    shift_right_words,
+    suffix_node,
+)
 from ..utils.dna import key_words
 from .mesh import axis_size, mesh_axes
 
@@ -129,9 +135,10 @@ def comm_bytes_estimate(
     cap_route = min(k_cap, int(k_cap / d * 2.0) + 128)  # route_slack=2.0
     ub = u_block if u_block is not None else cap_route
     return {
-        # linking: (node, tag, gid) records to node owners + prev-pointer
-        # pairs back to the successor's owner
-        "link": d * d * (cap_join * (w + 2) + cap_pair * 2) * 4,
+        # linking: (node<<1|tag, gid) records to node owners +
+        # prev-pointer pairs back to the successor's owner (the pre/suf
+        # tag rides the node key's spare low bit: w+1 columns, not w+2)
+        "link": d * d * (cap_join * (w + 1) + cap_pair * 2) * 4,
         # one doubling/uid query round: id queries out, [anc, aux] back
         "query_round": d * d * cap_query * 3 * 4,
         "query_rounds_max": max(
@@ -191,41 +198,57 @@ def make_sharded_compress(
 
     def link(edge_words, valid, my_gid):
         """prev[K] (global ids, -1 none) via node-owner all-to-all join."""
-        pre = jnp.where(valid[:, None], prefix_node(edge_words, k), SENTINEL)
-        suf = jnp.where(valid[:, None], suffix_node(edge_words, k), SENTINEL)
-        # records: node key words + tag + global edge id
-        keys = jnp.concatenate([pre, suf], axis=0)
-        tag = jnp.concatenate(
-            [jnp.zeros(k_cap, jnp.int32), jnp.ones(k_cap, jnp.int32)]
-        )
-        gid2 = jnp.concatenate([my_gid, my_gid])
-        node_owner = (mix_words(keys) % jnp.uint32(d)).astype(jnp.int32)
-        rec = jnp.concatenate(
-            [keys.astype(jnp.int32), tag[:, None], gid2[:, None]], axis=1
-        )
+        pre = prefix_node(edge_words, k)
+        suf = suffix_node(edge_words, k)
+        # records: (node key << 1 | pre/suf tag) + global edge id — the
+        # tag rides the node key's spare low bit (2k <= 32W always), so
+        # the a2a record is w+1 int32 columns instead of w+2 (25% less
+        # link wire volume at w=2) and the receive sort drops an operand
+        # (same packing as the single-device linker, ops.unitig_jax)
+        pre_p = shift_left_words(pre, 1)
+        suf_p = shift_left_words(suf, 1)
+        suf_p = suf_p.at[:, -1].set(suf_p[:, -1] | jnp.uint32(1))
+        keys = jnp.concatenate([pre_p, suf_p], axis=0)
         rec_valid = jnp.concatenate([valid, valid])
+        keys = jnp.where(rec_valid[:, None], keys, SENTINEL)
+        gid2 = jnp.concatenate([my_gid, my_gid])
+        # owner must be a function of the NODE key alone (both tags of a
+        # node meet at one owner): hash the tag-stripped key
+        node_key = jnp.concatenate([pre, suf], axis=0)
+        node_key = jnp.where(rec_valid[:, None], node_key, SENTINEL)
+        node_owner = (mix_words(node_key) % jnp.uint32(d)).astype(jnp.int32)
+        rec = jnp.concatenate(
+            [keys.astype(jnp.int32), gid2[:, None]], axis=1
+        )
         send, ovf1 = _bucket_pack(
             rec, node_owner, rec_valid, d, cap_join
         )
         recv = jax.lax.all_to_all(
             send, axis, split_axis=0, concat_axis=0, tiled=False
-        ).reshape(d * cap_join, w + 2)
+        ).reshape(d * cap_join, w + 1)
 
-        # sort received records by (node key, tag); padded lanes carry the
-        # sentinel key (see _bucket_pack) and their run is excluded by the
-        # shared join core
+        # sort received records by the packed (node key, tag); padded
+        # lanes carry the sentinel key (see _bucket_pack) and their run
+        # is excluded by the shared join core
         from ..ops.unitig_jax import join_scan
 
         rkeys = recv[:, :w].astype(jnp.uint32)
-        rtag = recv[:, w].astype(jnp.uint32)
-        rgid = recv[:, w + 1]
+        rgid = recv[:, w]
         ops = jax.lax.sort(
-            tuple(rkeys[:, i] for i in range(w)) + (rtag, rgid),
-            num_keys=w + 1,
+            tuple(rkeys[:, i] for i in range(w)) + (rgid,),
+            num_keys=w,
         )
-        key_s = jnp.stack(ops[:w], axis=1)
-        is_pre = ops[w] == 0
-        pay = ops[w + 1]
+        packed_s = jnp.stack(ops[:w], axis=1)
+        pay = ops[w]
+        sent_rows = _eq_rows(
+            packed_s,
+            jnp.broadcast_to(
+                jnp.full((1, w), SENTINEL, jnp.uint32), packed_s.shape
+            ),
+        )
+        is_pre = (packed_s[:, -1] & jnp.uint32(1)) == 0
+        key_s = shift_right_words(packed_s, 1)
+        key_s = jnp.where(sent_rows[:, None], SENTINEL, key_s)
         good, succ = join_scan(key_s, is_pre, pay)
         # pair (successor gid, predecessor gid) -> successor's owner
         pair = jnp.stack([succ, pay], axis=1)

@@ -78,7 +78,7 @@ def main() -> int:
         axis=1,
     )
     num = words_np.shape[0]
-    cap = snug_capacity(num)
+    cap = snug_capacity(num, fine=True)
     from genome_assembler_tpu.ops.kmer_jax import SENTINEL
 
     words_full = np.full((cap, keys.shape[1]), SENTINEL, np.uint32)

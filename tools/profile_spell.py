@@ -51,7 +51,7 @@ def main() -> int:
         axis=1,
     )
     num = words_np.shape[0]
-    cap = snug_capacity(num)
+    cap = snug_capacity(num, fine=True)
     words_full = np.full((cap, 2), SENTINEL, np.uint32)
     words_full[:num] = words_np
     counts_full = np.zeros(cap, np.int32)
