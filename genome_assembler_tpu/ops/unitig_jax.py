@@ -324,110 +324,18 @@ def _finalize_chains(prev: jax.Array, anc: jax.Array, dist: jax.Array, valid: ja
 # SAMPLE_STRIDE * ln(E / SAMPLE_STRIDE) << 2^(SAMPLED_MAX_ROUNDS - 1).
 SAMPLE_STRIDE = 32
 SAMPLED_MAX_ROUNDS = 16
-# Phase A runs this many FULL-SIZE doubling rounds (covering ruler gaps
-# <= 2^rounds, ~87% of lanes at stride 32), then compacts the straggler
-# lanes — the geometric gap tail — and finishes them on ~E/4 rows: the
-# full-size gather rounds are the dominant compression cost (random
-# gathers are this platform's slowest primitive, 8.6 ns/row amortized),
-# and rounds 7..10 would each touch all E rows to advance the last few
-# percent. Straggler capacity is E/4; overflow (only rulerless cycles
-# or pathological gap tails) falls back to the exact pass, unchanged.
-PHASE_A_FULL_ROUNDS = 6
+# A straggler-compaction variant of phase A (cap the full-size rounds
+# at 6, compact the geometric gap tail, finish it on an E/4 buffer) was
+# built and MEASURED OFF in r3: finishing the compacted stragglers
+# needs a per-round scatter-back into the full state array, and TPU
+# scatters are 15-20x slower than sorts (the codebase-wide rule) — at
+# the 84M-row 40 Mb scale the fused compress regressed 17.9 -> 23.8 s.
+# Phase A stays plain doubling: it IS the random-gather floor.
 # Below this the plain pass is already a few gather-milliseconds and the
 # extra host sync + compile of the sampled program costs more than it
 # saves. Tests monkeypatch this to 0 to force the fast path on tiny
 # graphs.
 SAMPLED_MIN_ROWS = 1 << 21
-
-
-def _phase_a_compacted(prev2: jax.Array, steps_a: int):
-    """Phase A of the sampled ranking with straggler compaction.
-
-    Semantically identical to ``_doubling(prev2, steps_a, track="dist")``
-    on acyclic inputs: every lane finds its nearest upstream stop (ruler
-    or real head) and the exact distance to it. Mechanically it runs
-    PHASE_A_FULL_ROUNDS full-size gather rounds — covering ruler gaps up
-    to 2^rounds, i.e. all but the exp(-2^rounds / SAMPLE_STRIDE)
-    geometric tail — then compacts the still-unstopped lanes (one sort)
-    and finishes them with gathers + unique-index scatters over the e/4
-    straggler buffer, so rounds past the 6th stop paying the full-table
-    gather price for the last few percent of lanes.
-
-    Returns (anc, dist, changed): ``changed`` True iff stragglers
-    exceeded the e/4 buffer (rulerless cycle / pathological tail) or the
-    round cap was hit — the caller's exact-fallback trigger, exactly as
-    before.
-    """
-    e = prev2.shape[0]
-    ids = jnp.arange(e, dtype=jnp.int32)
-    anc0 = jnp.where(prev2 >= 0, prev2, ids)
-    aux0 = (prev2 >= 0).astype(jnp.int32)
-    steps_full = min(PHASE_A_FULL_ROUNDS, steps_a)
-
-    def step(state):
-        g = state[state[:, 0]]
-        new = jnp.stack([g[:, 0], state[:, 1] + g[:, 1]], axis=1)
-        # done per lane: its current ancestor is a stop (head lanes
-        # carry dist contribution 0); the same quantity whose any()
-        # drives the convergence test in _doubling
-        return new, g[:, 1] == 0
-
-    def cond1(carry):
-        i, _, done = carry
-        return (i < steps_full) & ~jnp.all(done)
-
-    def body1(carry):
-        i, state, _ = carry
-        new, done = step(state)
-        return i + 1, new, done
-
-    _, state, done = jax.lax.while_loop(
-        cond1,
-        body1,
-        (
-            jnp.int32(0),
-            jnp.stack([anc0, aux0], axis=1),
-            jnp.zeros(e, dtype=bool),
-        ),
-    )
-    # ``done`` reflects the state BEFORE the last composition; recompute
-    # on the final state so early-converged inputs are exact
-    gd = state[state[:, 0]]
-    done = gd[:, 1] == 0
-
-    # compact the stragglers: one 4-operand sort (undone first, stable in
-    # lane order); the buffer holds e/4 lanes — far above the expected
-    # exp(-2^6/32) ~ 13.5% tail at stride 32
-    cap = max(-(-e // 4), 1)
-    n_un = jnp.sum((~done).astype(jnp.int32))
-    over = n_un > cap
-    key = done.astype(jnp.uint32)
-    lane_s, anc_s, dist_s = jax.lax.sort(
-        (key, ids, state[:, 0], state[:, 1]), num_keys=1
-    )[1:]
-    lane_c = lane_s[:cap]
-    state_c = jnp.stack([anc_s[:cap], dist_s[:cap]], axis=1)
-
-    def cond2(carry):
-        i, _, _, changed = carry
-        return (i < steps_a - steps_full) & changed
-
-    def body2(carry):
-        i, full, sc, _ = carry
-        # gather straggler ancestors from the FULL state: done ancestors
-        # are final, undone ancestors were scatter-updated last round —
-        # composing with either is exact doubling. Rows of the buffer
-        # holding already-done lanes (when n_un < cap) compose with a
-        # zero-dist stop: a no-op, kept for static shapes.
-        g = full[sc[:, 0]]
-        new = jnp.stack([g[:, 0], sc[:, 1] + g[:, 1]], axis=1)
-        full = full.at[lane_c].set(new)
-        return i + 1, full, new, jnp.any(g[:, 1] != 0)
-
-    _, state, state_c, changed2 = jax.lax.while_loop(
-        cond2, body2, (jnp.int32(0), state, state_c, jnp.any(~done))
-    )
-    return state[:, 0], state[:, 1], changed2 | over
 
 
 @jax.jit
@@ -463,7 +371,7 @@ def _rank_sampled(prev: jax.Array):
     is_ruler = (ids % s) == 0
     prev2 = jnp.where(is_ruler, jnp.int32(-1), prev)
     steps_a = min(SAMPLED_MAX_ROUNDS, _steps_for(e))
-    anc, dist, changed_a = _phase_a_compacted(prev2, steps_a)
+    anc, dist, changed_a = _doubling(prev2, steps_a, track="dist")
 
     # B: contracted links. Ruler t's predecessor pt chains to stop
     # anc[pt] at distance dist[pt] + 1; a ruler that is a real head is a

@@ -145,42 +145,3 @@ def test_compress_device_sampled_circular_genome():
     finally:
         unitig_jax.SAMPLED_MIN_ROWS = old
 
-
-def test_straggler_compaction_success_path(force_sampled):
-    # A 512-wide stretch of the chain contains no rulers: those lanes'
-    # nearest upstream stop is > 2^PHASE_A_FULL_ROUNDS away, so phase A
-    # must finish them through the compacted straggler buffer (~13% of
-    # lanes — well under the e/4 cap). Result must stay bit-identical
-    # to the plain pass.
-    n = 4096
-    rulers_mid = [i for i in range(1024, 1536) if i % 32 == 0]
-    order = [i for i in range(n) if i not in rulers_mid] + rulers_mid
-    prev = jnp.asarray(_chain_prev(order))
-    valid = jnp.ones(n, bool)
-    head, rank, ok = unitig_jax._rank_sampled(prev)
-    assert bool(ok)
-    uid_f, pos_f, num_f = unitig_jax._finalize_chains(prev, head, rank, valid)
-    uid_p, pos_p, num_p = _plain(prev, valid)
-    np.testing.assert_array_equal(np.asarray(uid_f), np.asarray(uid_p))
-    np.testing.assert_array_equal(np.asarray(pos_f), np.asarray(pos_p))
-    assert int(num_f) == int(num_p)
-
-
-def test_straggler_buffer_overflow_falls_back(force_sampled):
-    # Chain visits every non-ruler id before any ruler: ~97% of lanes
-    # are stragglers after the full rounds, far beyond the e/4 buffer —
-    # _rank_sampled must say not-ok and _resolve_chains must still
-    # produce exact results via the fallback.
-    n = 2048
-    nonrulers = [i for i in range(n) if i % 32 != 0]
-    rulers = [i for i in range(n) if i % 32 == 0]
-    order = nonrulers + rulers
-    prev = jnp.asarray(_chain_prev(order))
-    valid = jnp.ones(n, bool)
-    head, rank, ok = unitig_jax._rank_sampled(prev)
-    assert not bool(ok)
-    uid_f, pos_f, num_f = unitig_jax._resolve_chains(prev, valid)
-    uid_p, pos_p, num_p = _plain(prev, valid)
-    np.testing.assert_array_equal(np.asarray(uid_f), np.asarray(uid_p))
-    np.testing.assert_array_equal(np.asarray(pos_f), np.asarray(pos_p))
-    assert int(num_f) == int(num_p)
