@@ -137,13 +137,14 @@ def _run_single(
         capacity = None
     else:
         err_kmers = int(total_windows * min(1.0, error_rate * k) * 1.2)
-        # error-free unique canonical k-mers <= genome_len - k + 1; 1.15x
-        # covers simulator edge effects with margin. Every streaming
+        # error-free unique canonical k-mers <= genome_len - k + 1 by
+        # construction; 1.1x covers simulator edge effects with margin
+        # (the snug grid adds its own headroom on top). Every streaming
         # merge sort scales with this capacity, so tight matters — the
         # r2 1.5x slack was ~2.1M pure sentinel rows riding every CFG-2
         # merge sort (overflow is a flagged error, never silent, if the
         # bound is ever wrong).
-        capacity = snug_capacity(int(1.15 * genome_len) + err_kmers + 4096)
+        capacity = snug_capacity(int(1.1 * genome_len) + err_kmers + 4096)
     if os.environ.get("GA_ACCEPT_WARM") == "1":
         # untimed compile pass: axon compiles cost minutes and are
         # shape-keyed; the timed run below then reports steady state

@@ -465,12 +465,25 @@ def count_reads_device(
             (stride * bw, w), SENTINEL, dtype=jnp.uint32
         )
         slot = 0
-    pending_io = upload(starts[start_idx])
+    # upload prefetch depth: batch i's DMA rides under batch i-1's (and
+    # i-2's) compute; depth 2 also hides the host-side pack_codes of the
+    # next batch behind the queued device work (GA_UPLOAD_PREFETCH=1
+    # restores the r2 single-buffer behavior)
+    prefetch = max(1, int(os.environ.get("GA_UPLOAD_PREFETCH", "2")))
+    uploads: dict[int, tuple] = {}
+
+    def ensure_uploaded(j):
+        if j < len(starts) and j not in uploads:
+            uploads[j] = upload(starts[j])
+
+    for j in range(start_idx, min(start_idx + prefetch, len(starts))):
+        ensure_uploaded(j)
     for i in range(start_idx, len(starts)):
         start = starts[i]
-        chunk_dev, bm_dev = pending_io
+        chunk_dev, bm_dev = uploads.pop(i)
+        ensure_uploaded(i + prefetch)
         if i + 1 < len(starts):
-            pending_io = upload(starts[i + 1])
+            ensure_uploaded(i + 1)
         # b is the pre-padding read count captured above: with use_pallas
         # the reads array itself was padded to a 256-row multiple, so
         # reads.shape[0] would overcount the valid rows
