@@ -236,13 +236,22 @@ def accept_cfg4() -> AcceptResult:
     """Multi-device sharded counting + full sharded assembly + weak scaling.
 
     Bars (each enforced in-runner, VERDICT r1 item 3):
-      * sharded counts == host reference counts, bit for bit;
-      * the full distributed assembly reproduces the oracle's contigs;
+      * sharded counts == host reference counts, bit for bit (the
+        vectorized count_canonical_fast — scale-feasible at every size);
+      * the distributed assembly is genome-exact, and the gathered and
+        fully-sharded graph paths agree; below the scale cutoff (or under
+        GA_FORCE_ORACLE_CHECK=1) both are additionally pinned to the
+        Python-dict oracle's contigs. Above it the dict oracle is hours
+        of dict churn (VERDICT r3 missing item 5) while the genome bar is
+        strictly stronger for error-free reads — one exact contig — so
+        full-scale runs get real provenance instead of an unrunnable
+        check;
       * weak-scaling efficiency at the largest mesh >= GA_WEAK_SCALING_MIN
         when GA_ENFORCE_WEAK_SCALING=1 (real pod slices only — virtual CPU
         devices share host cores, so their efficiency is reported but
         meaningless as a bar).
     """
+    import datetime
     import jax
 
     from ..host.traverse import contigs_equal
@@ -292,11 +301,18 @@ def accept_cfg4() -> AcceptResult:
         )
     eff = weak_scaling_efficiency(rates)
 
-    # Full sharded assembly end-to-end on the largest mesh vs the oracle —
-    # both the gathered path and the fully sharded graph path.
+    # Full sharded assembly end-to-end on the largest mesh — both the
+    # gathered path and the fully sharded graph path. The dict-oracle
+    # cross-check runs below the scale cutoff (CI scale) or on demand
+    # (GA_FORCE_ORACLE_CHECK=1); the genome bar + cross-path equality
+    # always run, at every scale.
     from ..parallel.pipeline import assemble_distributed_sharded
 
+    check_oracle = (
+        os.environ.get("GA_FORCE_ORACLE_CHECK") == "1" or s < 0.2
+    )
     m_sharded = Metrics()
+    t_asm = time.perf_counter()
     contigs = assemble_distributed(
         rs.codes, cfg, build_mesh(n_dev), table_capacity=capacity
     )
@@ -304,12 +320,13 @@ def accept_cfg4() -> AcceptResult:
         rs.codes, cfg, build_mesh(n_dev), table_capacity=capacity,
         metrics=m_sharded,
     )
-    oracle = assemble_oracle(rs.codes, cfg)
-    assembly_ok = (
-        contigs == oracle
-        and sharded == oracle
-        and contigs_equal(contigs, [decode_seq(genome)])
+    asm_wall = time.perf_counter() - t_asm
+    assembly_ok = sharded == contigs and contigs_equal(
+        contigs, [decode_seq(genome)]
     )
+    if check_oracle:
+        oracle = assemble_oracle(rs.codes, cfg)
+        assembly_ok = assembly_ok and contigs == oracle
 
     passed = counts_ok and assembly_ok
     eff_bar = None
@@ -322,9 +339,13 @@ def accept_cfg4() -> AcceptResult:
         {
             "genome_len": genome_len,
             "reads": rs.num_reads,
+            "scale": s,
+            "date": datetime.date.today().isoformat(),
             "devices": sizes,
             "counts_match_host": counts_ok,
-            "assembly_matches_oracle": assembly_ok,
+            "assembly_genome_exact_and_paths_agree": assembly_ok,
+            "oracle_cross_checked": check_oracle,
+            "assembly_wall_s": round(asm_wall, 1),
             "contigs": len(contigs),
             "reads_per_s": {str(d): round(r, 1) for d, r in rates.items()},
             "weak_scaling_eff": {str(d): round(e, 3) for d, e in eff.items()},

@@ -198,8 +198,7 @@ def empty_bucketed(nb: int, cb: int, w: int) -> BucketedTable:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("m",), donate_argnums=(0,))
-def merge_raw_keys_bucketed(
+def merge_raw_keys_bucketed_impl(
     bt: BucketedTable, keys: jax.Array, *, m: int
 ) -> BucketedTable:
     """Merge a raw (unsorted, uncounted) key stream into the bucketed
@@ -209,6 +208,10 @@ def merge_raw_keys_bucketed(
     then merges its segment against its table rows with ONE batched
     [nb, cb+m] weighted sort + batched reduce — every bulk sort runs at
     batched-shape throughput regardless of total table size.
+
+    This is the un-jitted body; call it from inside an enclosing jit /
+    ``shard_map`` (parallel.pipeline's per-shard streaming merge). The
+    top-level entry point is :func:`merge_raw_keys_bucketed`.
     """
     nb, cb, w = bt.words.shape
     batch_w, _, _, over_m = _route_and_pack(keys, nb, m)
@@ -228,6 +231,11 @@ def merge_raw_keys_bucketed(
         num_unique=jnp.minimum(num_u, cb),
         overflow=overflow,
     )
+
+
+merge_raw_keys_bucketed = functools.partial(
+    jax.jit, static_argnames=("m",), donate_argnums=(0,)
+)(merge_raw_keys_bucketed_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("nb", "cb"))
@@ -250,11 +258,13 @@ def bucketize(table: CountTable, *, nb: int, cb: int) -> BucketedTable:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def flatten_bucketed(bt: BucketedTable, *, capacity: int) -> CountTable:
+def flatten_bucketed_impl(bt: BucketedTable, *, capacity: int) -> CountTable:
     """Bucketed -> standard compact-front lexicographically sorted
     CountTable of the given capacity (one monolithic sort, paid once
-    per stream). Bit-identical to the flat streaming path's table."""
+    per stream). Bit-identical to the flat streaming path's table.
+
+    Un-jitted body for enclosing jit / ``shard_map`` callers; the
+    top-level entry point is :func:`flatten_bucketed`."""
     nb, cb, w = bt.words.shape
     words2 = bt.words.reshape(nb * cb, w)
     counts2 = bt.counts.reshape(nb * cb)
@@ -285,6 +295,11 @@ def flatten_bucketed(bt: BucketedTable, *, capacity: int) -> CountTable:
         num_unique=jnp.minimum(num, capacity),
         overflow=overflow,
     )
+
+
+flatten_bucketed = functools.partial(
+    jax.jit, static_argnames=("capacity",)
+)(flatten_bucketed_impl)
 
 
 def bucket_geometry(

@@ -404,6 +404,130 @@ def make_distributed_pending_merge(mesh: Mesh, rows: int, axis="d"):
     return jax.jit(mapped, donate_argnums=(0, 1, 2, 3))
 
 
+def make_distributed_stream_count_bucketed(
+    mesh: Mesh, k: int, batch_per_device: int, read_len: int,
+    bucket_cap: int, axis="d", with_mask: bool = False,
+    minimizer_len: int | None = None, *, m_seg: int,
+):
+    """Bucketed-table variant of :func:`make_distributed_stream_count`.
+
+    Each shard carries its running table in the hash-bucketed layout
+    (ops.bucketed.BucketedTable), so the per-batch merge runs as batched
+    [nb, cb+m] sorts instead of two monolithic (c_shard + recv)-row sorts
+    — at pod scale each shard's flat merge re-enters the same super-linear
+    sort regime the bucketed table was built to avoid (VERDICT r3 missing
+    item 3; SURVEY.md §5 long-context row). Global array shapes:
+    words [D*nb, cb, W], counts [D*nb, cb], num [D*nb], ovf [D], all
+    row-sharded on ``axis``. m_seg is the per-bucket batch segment
+    capacity (ops.bucketed.bucket_geometry).
+
+    The shard-local bucket hash (ops.bucketed._mix_words) is independent
+    of the owner-routing hash (ops.hash.mix_words), so per-shard bucket
+    loads stay Poisson-uniform even though every key on a shard already
+    shares owner = mix_words(key) % D.
+    """
+    import functools
+
+    from ..ops.bucketed import BucketedTable, merge_raw_keys_bucketed_impl
+    from .mesh import axis_size
+
+    d = axis_size(mesh, axis)
+    owned = _make_owned_keys(d, k, read_len, bucket_cap, axis, minimizer_len)
+
+    def local_step(tw, tc, tn, tov, reads, n_valid, inv_mask=None):
+        keys, route_ovf = owned(reads, n_valid, inv_mask)
+        bt = BucketedTable(
+            words=tw, counts=tc, num_unique=tn, overflow=tov[0]
+        )
+        merged = merge_raw_keys_bucketed_impl(bt, keys, m=m_seg)
+        return (
+            merged.words,
+            merged.counts,
+            merged.num_unique,
+            (merged.overflow | route_ovf)[None],
+        )
+
+    in_specs = (
+        P(axis, None, None), P(axis, None), P(axis), P(axis),
+        P(axis, None, None), P(axis),
+    )
+    if with_mask:
+        in_specs = in_specs + (P(axis, None, None),)
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def step(words, counts, num, ovf, reads, n_valid, inv_mask=None):
+        if with_mask:
+            return mapped(words, counts, num, ovf, reads, n_valid, inv_mask)
+        return mapped(words, counts, num, ovf, reads, n_valid)
+
+    return step
+
+
+def make_distributed_pending_merge_bucketed(
+    mesh: Mesh, rows: int, axis="d", *, m_seg: int
+):
+    """Bucketed counterpart of :func:`make_distributed_pending_merge`:
+    merge the first ``rows`` rows of each shard's pending raw-key buffer
+    into its bucketed table shard (deferred-merge cadence)."""
+    from ..ops.bucketed import BucketedTable, merge_raw_keys_bucketed_impl
+
+    def local_merge(tw, tc, tn, tov, pend):
+        bt = BucketedTable(
+            words=tw, counts=tc, num_unique=tn, overflow=tov[0]
+        )
+        merged = merge_raw_keys_bucketed_impl(bt, pend[:rows], m=m_seg)
+        return (
+            merged.words,
+            merged.counts,
+            merged.num_unique,
+            merged.overflow[None],
+        )
+
+    mapped = shard_map(
+        local_merge,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None, None), P(axis, None), P(axis), P(axis),
+            P(axis, None),
+        ),
+        out_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1, 2, 3))
+
+
+def make_distributed_flatten_bucketed(mesh: Mesh, c_shard: int, axis="d"):
+    """Per-shard bucketed -> flat compact-front table (one monolithic
+    sort per shard, paid once at stream end): the sharded mirror of
+    ops.bucketed.flatten_bucketed, so everything downstream of the
+    streaming counter (filter, compress, host pulls, checkpoints) sees
+    the exact flat-table layout the non-bucketed path produces."""
+    from ..ops.bucketed import BucketedTable, flatten_bucketed_impl
+
+    def local_flatten(tw, tc, tn, tov):
+        bt = BucketedTable(
+            words=tw, counts=tc, num_unique=tn, overflow=tov[0]
+        )
+        t = flatten_bucketed_impl(bt, capacity=c_shard)
+        return t.words, t.counts, t.num_unique[None], t.overflow[None]
+
+    mapped = shard_map(
+        local_flatten,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis, None), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1, 2, 3))
+
+
 # Above this many windows per device, the distributed counter streams
 # read batches into carried table shards instead of running one fused
 # step over the whole read set (whose compile time scales with shape and
@@ -537,6 +661,31 @@ def _run_distributed_stream(
     any_invalid = has_ambiguous(reads)
     stride = merge_stride or int(os.environ.get("GA_MERGE_STRIDE", "1"))
     strided = stride > 1 and nb > 1
+    recv = _recv_rows(d, cfg.k, length, per_dev, bucket_cap, minimizer_len)
+    # Per-shard bucketed-merge auto-switch: the same sort-cliff bound as
+    # the single-device streaming path (models.pipeline), keyed off the
+    # PER-SHARD merge rows — at pod scale each shard's flat cap+batch
+    # merge re-enters the super-linear monolithic-sort regime the
+    # bucketed table avoids (SURVEY.md §5 long-context row; VERDICT r3).
+    from ..models.pipeline import BUCKETED_MIN_MERGE_ROWS
+
+    merge_rows_shard = c_shard + (stride if strided else 1) * recv
+    env_bucketed = os.environ.get("GA_BUCKETED", "auto")
+    if env_bucketed == "auto":
+        use_bucketed = merge_rows_shard >= BUCKETED_MIN_MERGE_ROWS
+    else:
+        use_bucketed = env_bucketed == "1"
+    if use_bucketed:
+        from ..ops import bucketed as bucketed_mod
+
+        nbk = int(os.environ.get("GA_BUCKETS", "256"))
+        cb, m_seg = bucketed_mod.bucket_geometry(
+            c_shard,
+            (stride if strided else 1) * recv,
+            nb=nbk,
+            cb_slack=float(os.environ.get("GA_BUCKET_SLACK", "1.25")),
+            m_slack=float(os.environ.get("GA_BUCKET_BATCH_SLACK", "1.5")),
+        )
     a2a_step = _a2a_count_bytes_per_step(d, cfg.k, bucket_cap, minimizer_len)
     ck_params = {
         "d": d,
@@ -546,24 +695,36 @@ def _run_distributed_stream(
         "stride": stride if strided else 1,
         "total_reads": b,
         "bucket_cap": bucket_cap,
+        "bucketed": int(use_bucketed),
     }
+    if use_bucketed:
+        ck_params.update({"nb": nbk, "cb": cb, "m": m_seg})
     row_sharding = NamedSharding(mesh, P(axis))
     sharding3 = NamedSharding(mesh, P(axis, None, None))
     if strided:
-        recv = _recv_rows(d, cfg.k, length, per_dev, bucket_cap,
-                          minimizer_len)
         append = make_distributed_stream_append(
             mesh, cfg.k, per_dev, length, bucket_cap, axis,
             with_mask=any_invalid, minimizer_len=minimizer_len,
         )
-        merge_full = make_distributed_pending_merge(
-            mesh, stride * recv, axis
-        )
+        if use_bucketed:
+            merge_full = make_distributed_pending_merge_bucketed(
+                mesh, stride * recv, axis, m_seg=m_seg
+            )
+        else:
+            merge_full = make_distributed_pending_merge(
+                mesh, stride * recv, axis
+            )
         pend = jax.device_put(
             np.full((d * stride * recv, w), int(SENTINEL), dtype=np.uint32),
             NamedSharding(mesh, P(axis, None)),
         )
         slot = 0
+    elif use_bucketed:
+        step = make_distributed_stream_count_bucketed(
+            mesh, cfg.k, per_dev, length, bucket_cap, axis,
+            with_mask=any_invalid, minimizer_len=minimizer_len,
+            m_seg=m_seg,
+        )
     else:
         step = make_distributed_stream_count(
             mesh, cfg.k, per_dev, length, bucket_cap, axis,
@@ -580,12 +741,25 @@ def _run_distributed_stream(
                 f"this run has {ck_params} — resume requires identical "
                 "mesh size/k/batching/capacity/stride/read-set"
             )
+        w_spec = P(axis, None, None) if use_bucketed else P(axis, None)
+        c_spec = P(axis, None) if use_bucketed else P(axis)
         words = jax.device_put(
-            arrays["words"], NamedSharding(mesh, P(axis, None))
+            arrays["words"], NamedSharding(mesh, w_spec)
         )
-        counts = jax.device_put(arrays["counts"], row_sharding)
+        counts = jax.device_put(arrays["counts"], NamedSharding(mesh, c_spec))
         num = jax.device_put(arrays["num"], row_sharding)
         ovf = jax.device_put(arrays["ovf"], row_sharding)
+    elif use_bucketed:
+        words = jax.device_put(
+            np.full((d * nbk, cb, w), 0xFFFFFFFF, dtype=np.uint32),
+            NamedSharding(mesh, P(axis, None, None)),
+        )
+        counts = jax.device_put(
+            np.zeros((d * nbk, cb), np.int32),
+            NamedSharding(mesh, P(axis, None)),
+        )
+        num = jax.device_put(np.zeros(d * nbk, np.int32), row_sharding)
+        ovf = jax.device_put(np.zeros(d, bool), row_sharding)
     else:
         words = jax.device_put(
             np.full((d * c_shard, w), 0xFFFFFFFF, dtype=np.uint32),
@@ -676,12 +850,27 @@ def _run_distributed_stream(
                 f"{abort_after} reached at batch {i + 1}/{nb}"
             )
     if strided and slot:
-        merge_tail = make_distributed_pending_merge(mesh, slot * recv, axis)
+        if use_bucketed:
+            merge_tail = make_distributed_pending_merge_bucketed(
+                mesh, slot * recv, axis, m_seg=m_seg
+            )
+        else:
+            merge_tail = make_distributed_pending_merge(
+                mesh, slot * recv, axis
+            )
         words, counts, num, ovf = merge_tail(words, counts, num, ovf, pend)
+    if use_bucketed:
+        # one monolithic sort per shard, paid once at stream end: back to
+        # the exact flat compact-front layout downstream expects
+        words, counts, num, ovf = make_distributed_flatten_bucketed(
+            mesh, c_shard, axis
+        )(words, counts, num, ovf)
     if bool(np.any(to_host(ovf))):
         raise RuntimeError(
             "distributed streaming overflow (routing bucket or table "
-            "shard); increase table_capacity / bucket_cap"
+            "shard); increase table_capacity / bucket_cap (under the "
+            "bucketed per-shard merge: GA_BUCKETED=0 or a larger "
+            "GA_BUCKET_SLACK / GA_BUCKET_BATCH_SLACK)"
         )
     return words, counts, num
 

@@ -124,4 +124,6 @@ def test_cfg4_passes_at_small_scale(monkeypatch):
     ).accept_cfg4()
     assert res.passed, res.detail
     assert res.detail["counts_match_host"] is True
-    assert res.detail["assembly_matches_oracle"] is True
+    assert res.detail["assembly_genome_exact_and_paths_agree"] is True
+    # at CI scale the dict-oracle cross-check is cheap and must run
+    assert res.detail["oracle_cross_checked"] is True

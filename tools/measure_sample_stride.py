@@ -67,18 +67,26 @@ def main() -> int:
     sync(prev[:1])
     print(json.dumps({"stage": "setup", "edge_rows": int(prev.shape[0])}))
 
-    plain_fn = unitig_jax._rank_pass
-    anc_ref, dist_ref, _ = plain_fn(prev)
-    sync(anc_ref[:1])
-    t_plain = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        a, d, c = plain_fn(prev)
-        sync(a[:1])
-        t_plain.append(time.perf_counter() - t0)
-    print(json.dumps({"stage": "rank_plain", "best_s": round(min(t_plain), 4)}))
-    anc_ref = np.asarray(anc_ref)
-    dist_ref = np.asarray(dist_ref)
+    # GA_MSS_SKIP_PLAIN=1 skips the plain-doubling reference (minutes per
+    # pass at 40 Mb / ~84M-row scale); the first stride's result then
+    # serves as the cross-stride equality reference instead.
+    anc_ref = dist_ref = None
+    if os.environ.get("GA_MSS_SKIP_PLAIN") != "1":
+        plain_fn = unitig_jax._rank_pass
+        anc_ref, dist_ref, _ = plain_fn(prev)
+        sync(anc_ref[:1])
+        t_plain = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            a, d, c = plain_fn(prev)
+            sync(a[:1])
+            t_plain.append(time.perf_counter() - t0)
+        print(
+            json.dumps({"stage": "rank_plain",
+                        "best_s": round(min(t_plain), 4)})
+        )
+        anc_ref = np.asarray(anc_ref)
+        dist_ref = np.asarray(dist_ref)
 
     raw = unitig_jax._rank_sampled.__wrapped__
     for s in strides:
@@ -92,6 +100,9 @@ def main() -> int:
             head, rank, ok = fn(prev)
             sync(head[:1])
             ts.append(time.perf_counter() - t0)
+        if anc_ref is None:
+            anc_ref = np.asarray(head)
+            dist_ref = np.asarray(rank)
         match = bool(
             (np.asarray(head) == anc_ref).all()
             and (np.asarray(rank) == dist_ref).all()
