@@ -15,8 +15,28 @@ overrides; default leaves the platform resolution alone (tpu when present).
 from __future__ import annotations
 
 import os
+import sys
 
 _DONE = False
+
+
+def tunnel_alive(timeout: float = 2.0) -> bool:
+    """True if the local TPU tunnel relay is accepting connections.
+
+    The `axon` plugin reaches its pool service through a loopback relay
+    (PALLAS_AXON_POOL_IPS=127.0.0.1); when the relay process dies, the
+    first backend touch (jax.devices / first dispatch) blocks FOREVER on
+    a connect that nothing will answer. A 2 s TCP probe of the relay
+    port distinguishes "tunnel down" from "first init is slow" so entry
+    points can fail over to CPU loudly instead of hanging (observed
+    live: the relay died mid-round and every chip job wedged)."""
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=timeout):
+            return True
+    except OSError:
+        return False
 
 
 def setup(platform: str | None = None) -> None:
@@ -30,6 +50,20 @@ def setup(platform: str | None = None) -> None:
         _DONE = True
 
     platform = platform or os.environ.get("GA_PLATFORM")
+    if (
+        platform is None
+        and os.environ.get("PALLAS_AXON_POOL_IPS", "").startswith("127.")
+        and os.environ.get("GA_TUNNEL_PROBE", "1") != "0"
+        and not tunnel_alive()
+    ):
+        print(
+            "WARNING: TPU tunnel relay is not accepting connections; "
+            "falling back to CPU (set GA_TUNNEL_PROBE=0 to skip this "
+            "probe, GA_PLATFORM=tpu to force the TPU attempt anyway)",
+            file=sys.stderr,
+            flush=True,
+        )
+        platform = "cpu"
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     elif platform == "tpu":
