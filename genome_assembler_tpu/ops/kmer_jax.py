@@ -21,10 +21,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.dna import key_words
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# A numpy scalar, NOT a jnp one: a module-level jnp constant would
+# initialize the default JAX backend at import time — before any caller
+# can pin the platform (utils.jaxenv.setup) — which on the tunneled axon
+# platform means a minutes-long init (or an infinite hang when the
+# relay is down) just for importing the package. np.uint32 promotes
+# identically inside every jnp expression.
+SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _shift_left2_or(words: list[jax.Array], low: jax.Array) -> list[jax.Array]:
