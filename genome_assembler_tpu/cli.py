@@ -298,6 +298,16 @@ def cmd_assemble(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Contig statistics of an existing FASTA/lines file (the reference
+    workflow's post-assembly inspection step — SURVEY.md §1 output row —
+    without re-running assembly)."""
+    from .host.stats import stats_json
+
+    print(stats_json(read_sequences(args.contigs)))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ga-tpu", description=__doc__)
     p.add_argument("-v", "--verbose", action="store_true",
@@ -390,6 +400,14 @@ def build_parser() -> argparse.ArgumentParser:
                     "batches (mid-stream preemption recovery; tpu and "
                     "dist backends)")
     pa.set_defaults(fn=cmd_assemble)
+
+    pst = sub.add_parser(
+        "stats",
+        help="contig statistics (count/bases/N50/longest) of a FASTA or "
+        "line file, as one JSON line",
+    )
+    pst.add_argument("contigs", help="contigs file (FASTA or plain lines)")
+    pst.set_defaults(fn=cmd_stats)
 
     pc = sub.add_parser(
         "accept", help="run driver acceptance configs (BASELINE.md 0-4)"

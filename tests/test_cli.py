@@ -125,3 +125,12 @@ def test_merge_stride_flag(sim_files, tmp_path, monkeypatch):
     monkeypatch.delenv("GA_MERGE_STRIDE", raising=False)
     assert read_sequences(out1) == read_sequences(out2)
     assert contigs_equal(read_sequences(out1), read_sequences(genome))
+
+
+def test_stats_subcommand(sim_files, capsys):
+    _, genome = sim_files
+    rc = main(["stats", genome])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["contigs"] == 1
+    assert out["total_bp"] == out["n50"] == out["max_len"] == 3000
