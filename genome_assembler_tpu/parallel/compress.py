@@ -264,7 +264,7 @@ def make_sharded_compress(
             .at[slot]
             .set(jnp.where(ok, recv2[:, 1], -1), mode="drop")
         )
-        return prev, ovf1 | ovf2
+        return prev, ovf1, ovf2
 
     def query_round(state, targets_needed, valid):
         """Fetch state rows for per-lane global-id targets (deduplicated).
@@ -460,7 +460,7 @@ def make_sharded_compress(
         my_gid = my_d * k_cap + jnp.arange(k_cap, dtype=jnp.int32)
 
         edge_words, covs, valid = local_edges(words, counts)
-        prev, ovf = link(edge_words, valid, my_gid)
+        prev, ovf_join, ovf_pair = link(edge_words, valid, my_gid)
         prev = jnp.where(valid, prev, -1)
 
         def exact_rank(_):
@@ -519,9 +519,16 @@ def make_sharded_compress(
         uid = jnp.where(valid, uans[:, 0], -1)
 
         num_unitigs = jnp.sum(all_counts)
+        # bitmask, not bool: a flagged overflow at scale must say WHICH
+        # routing cap to grow (bit 1 = link join, 2 = link pair,
+        # 4 = rank/doubling query, 8 = uid query); nonzero == overflow
         overflow = jax.lax.pmax(
-            (ovf | o1 | o2).astype(jnp.int32), axis
-        ) > 0
+            ovf_join.astype(jnp.int32)
+            + 2 * ovf_pair.astype(jnp.int32)
+            + 4 * o1.astype(jnp.int32)
+            + 8 * o2.astype(jnp.int32),
+            axis,
+        )
         last_base = (edge_words[:, -1] & jnp.uint32(3)).astype(jnp.uint8)
         return (
             valid, uid, dist, covs, last_base, heads,

@@ -597,6 +597,162 @@ def load_sharded_stream_checkpoint(path: str):
         return arrays, int(z["next_batch"]), params
 
 
+def reshard_sharded_stream_checkpoint(
+    path_in: str, path_out: str, reads_shape: tuple[int, int],
+    cfg: AssemblyConfig, new_d: int, *,
+    bucket_cap: int | None = None, minimizer_len: int | None = None,
+    table_capacity: int | None = None, merge_stride: int | None = None,
+) -> None:
+    """Elastic recovery: rewrite a mid-stream sharded checkpoint for a
+    DIFFERENT mesh size, so a preempted pod-scale count resumes on
+    however many devices are left (SURVEY.md §5 failure/elastic row —
+    beyond same-shape restart, which load_sharded_stream_checkpoint
+    already gives).
+
+    Shard ownership is a pure function of the key (owner =
+    mix_words(key) % D), so resharding is a host-side repartition of the
+    already-counted (key, count) rows — no device work, no recounting:
+    collect every shard's valid rows, recompute owners for ``new_d``,
+    re-sort each new shard (keys are globally unique, so a sort IS the
+    merge), and write a snapshot whose params/layout/geometry match
+    exactly what a ``new_d``-mesh resume of the same read set will
+    compute (same cfg/capacity/stride args and GA_* env as that resume —
+    the plan is env-sensitive, and the params equality check on resume
+    is the guarantee). The batch cursor carries over as consumed reads:
+    cfg.batch_reads divisible by both mesh sizes keeps the global batch
+    size identical, else the cursor would split a batch (checked error).
+
+    reads_shape: (num_reads, read_len) of the ORIGINAL read set.
+    """
+    from ..ops.count_jax import CountTable
+    from ..ops.hash import mix_words
+    from ..ops.kmer_jax import SENTINEL
+
+    if minimizer_len is not None:
+        raise ValueError(
+            "resharding a minimizer-routed stream is unsupported: under "
+            "super-k-mer routing a key's owner is its MINIMIZER's hash "
+            "% d, not mix_words(key) % d, so a host-side repartition by "
+            "key hash would split keys across shards; resume on the "
+            "original mesh size instead"
+        )
+    b, length = reads_shape
+    arrays, next_batch, got = load_sharded_stream_checkpoint(path_in)
+    if got.get("minimizer", 0):
+        raise ValueError(
+            "checkpoint was written by a minimizer-routed stream; "
+            "resharding is unsupported for it (see docstring)"
+        )
+    if got.get("k") != cfg.k or got.get("total_reads") != b:
+        raise ValueError(
+            f"checkpoint {path_in} is for k={got.get('k')}, "
+            f"total_reads={got.get('total_reads')}; this read set has "
+            f"k={cfg.k}, total_reads={b}"
+        )
+    old_d = got["d"]
+    new_plan = _StreamPlan(
+        b, length, cfg, new_d, bucket_cap, minimizer_len, table_capacity,
+        merge_stride,
+    )
+    consumed = next_batch * got["batch_total"]
+    if consumed % new_plan.batch_total:
+        raise ValueError(
+            f"cursor at {consumed} consumed reads does not align with the "
+            f"new global batch of {new_plan.batch_total} (old batch "
+            f"{got['batch_total']}); pick batch_reads divisible by both "
+            "mesh sizes"
+        )
+
+    w = key_words(cfg.k)
+    # collect every shard's valid (key, count) rows, either layout
+    if got.get("bucketed"):
+        nbo, cbo = got["nb"], got["cb"]
+        words3 = arrays["words"].reshape(old_d * nbo, cbo, w)
+        counts2 = arrays["counts"].reshape(old_d * nbo, cbo)
+        num = arrays["num"].reshape(old_d * nbo)
+    else:
+        c_old = got["c_shard"]
+        words3 = arrays["words"].reshape(old_d, c_old, w)
+        counts2 = arrays["counts"].reshape(old_d, c_old)
+        num = arrays["num"].reshape(old_d)
+    lane = np.arange(words3.shape[1])
+    valid = lane[None, :] < num[:, None]
+    keys_all = words3[valid]
+    counts_all = counts2[valid]
+    if bool(np.any(arrays["ovf"])):
+        raise ValueError(
+            f"checkpoint {path_in} carries an overflow flag; it cannot be "
+            "resharded (the counts are already unreliable)"
+        )
+
+    owner = mix_words(np.ascontiguousarray(keys_all)) % np.uint32(new_d)
+    new_words = np.full(
+        (new_d, new_plan.c_shard, w), int(SENTINEL), dtype=np.uint32
+    )
+    new_counts = np.zeros((new_d, new_plan.c_shard), dtype=np.int32)
+    new_num = np.zeros(new_d, dtype=np.int32)
+    new_ovf = np.zeros(new_d, dtype=bool)
+    for s in range(new_d):
+        sel = owner == s
+        ks = keys_all[sel]
+        cs = counts_all[sel]
+        # big-endian word order: column 0 is the primary sort key
+        order = np.lexsort(tuple(ks[:, i] for i in range(w - 1, -1, -1)))
+        n = ks.shape[0]
+        if n > new_plan.c_shard:
+            new_ovf[s] = True
+            n = new_plan.c_shard
+            order = order[:n]
+        new_words[s, :n] = ks[order]
+        new_counts[s, :n] = cs[order]
+        new_num[s] = n
+
+    if new_plan.use_bucketed:
+        # the resumed run expects the bucketed layout: bucketize each
+        # shard with the exact production routine (ops.bucketed)
+        from ..ops import bucketed as bucketed_mod
+
+        bw = np.empty(
+            (new_d * new_plan.nbk, new_plan.cb, w), dtype=np.uint32
+        )
+        bc = np.empty((new_d * new_plan.nbk, new_plan.cb), dtype=np.int32)
+        bn = np.empty(new_d * new_plan.nbk, dtype=np.int32)
+        for s in range(new_d):
+            bt = bucketed_mod.bucketize(
+                CountTable(
+                    words=new_words[s],
+                    counts=new_counts[s],
+                    num_unique=new_num[s],
+                    overflow=new_ovf[s],
+                ),
+                nb=new_plan.nbk,
+                cb=new_plan.cb,
+            )
+            sl = slice(s * new_plan.nbk, (s + 1) * new_plan.nbk)
+            bw[sl] = np.asarray(bt.words)
+            bc[sl] = np.asarray(bt.counts)
+            bn[sl] = np.asarray(bt.num_unique)
+            new_ovf[s] = new_ovf[s] or bool(bt.overflow)
+        out = (bw, bc, bn, new_ovf)
+    else:
+        out = (
+            new_words.reshape(new_d * new_plan.c_shard, w),
+            new_counts.reshape(-1),
+            new_num,
+            new_ovf,
+        )
+    if bool(np.any(new_ovf)):
+        raise ValueError(
+            f"resharding to d={new_d} overflows a shard "
+            f"(c_shard={new_plan.c_shard}); pass a larger table_capacity"
+        )
+    save_sharded_stream_checkpoint(
+        *out, path_out,
+        next_batch=consumed // new_plan.batch_total,
+        params=new_plan.ck_params,
+    )
+
+
 def _bucket_cap_for(windows: int, d: int, k: int,
                     minimizer_len: int | None) -> int:
     """Routing-bucket capacity for one device's window count + skew slack."""
@@ -608,6 +764,82 @@ def _bucket_cap_for(windows: int, d: int, k: int,
         return int(windows / mean_run(k, minimizer_len) / d * 1.6) + 128
     # expected windows/bucket plus generous skew slack
     return int(windows / d * 1.5) + 64
+
+
+class _StreamPlan:
+    """Every shape/geometry decision of one distributed streaming run,
+    derived deterministically from (read-set shape, cfg, mesh size,
+    knobs + env). Factored out of _run_distributed_stream so the elastic
+    resharder (reshard_sharded_stream_checkpoint) reproduces EXACTLY the
+    plan a resumed run will compute — the checkpoint-params equality
+    check then guarantees the rewritten snapshot is acceptable."""
+
+    def __init__(self, b, length, cfg, d, bucket_cap, minimizer_len,
+                 table_capacity, merge_stride):
+        from ..ops.count_jax import snug_capacity
+
+        self.d = d
+        self.b = b
+        self.length = length
+        wc = length - cfg.k + 1
+        self.per_dev = max(1, cfg.batch_reads // d)
+        self.batch_total = self.per_dev * d
+        self.num_batches = -(-b // self.batch_total)
+        cap_global = table_capacity or min(b * wc, 1 << 26)
+        self.c_shard = snug_capacity(int(cap_global / d * 1.3) + 64)
+        self.bucket_cap = (
+            bucket_cap
+            if bucket_cap is not None
+            else _bucket_cap_for(self.per_dev * wc, d, cfg.k, minimizer_len)
+        )
+        stride = merge_stride or int(os.environ.get("GA_MERGE_STRIDE", "1"))
+        self.strided = stride > 1 and self.num_batches > 1
+        self.stride = stride if self.strided else 1
+        self.recv = _recv_rows(
+            d, cfg.k, length, self.per_dev, self.bucket_cap, minimizer_len
+        )
+        from ..models.pipeline import BUCKETED_MIN_MERGE_ROWS
+
+        merge_rows_shard = self.c_shard + self.stride * self.recv
+        env_bucketed = os.environ.get("GA_BUCKETED", "auto")
+        if env_bucketed == "auto":
+            self.use_bucketed = merge_rows_shard >= BUCKETED_MIN_MERGE_ROWS
+        else:
+            self.use_bucketed = env_bucketed == "1"
+        self.nbk = self.cb = self.m_seg = None
+        if self.use_bucketed:
+            from ..ops import bucketed as bucketed_mod
+
+            self.nbk = int(os.environ.get("GA_BUCKETS", "256"))
+            self.cb, self.m_seg = bucketed_mod.bucket_geometry(
+                self.c_shard,
+                self.stride * self.recv,
+                nb=self.nbk,
+                cb_slack=float(os.environ.get("GA_BUCKET_SLACK", "1.25")),
+                m_slack=float(
+                    os.environ.get("GA_BUCKET_BATCH_SLACK", "1.5")
+                ),
+            )
+        self.ck_params = {
+            "d": d,
+            "k": cfg.k,
+            "batch_total": self.batch_total,
+            "c_shard": self.c_shard,
+            "stride": self.stride,
+            "total_reads": b,
+            "bucket_cap": self.bucket_cap,
+            "bucketed": int(self.use_bucketed),
+            # routing function identity: a key's owner is mix_words(key)%d
+            # per-window but its MINIMIZER's hash % d under super-k-mer
+            # routing — resuming with a different routing would split
+            # keys across shards, so it is pinned like every other
+            # byte-identity parameter
+            "minimizer": 0 if minimizer_len is None else minimizer_len,
+        }
+        if self.use_bucketed:
+            self.ck_params.update(
+                {"nb": self.nbk, "cb": self.cb, "m": self.m_seg}
+            )
 
 
 def _run_distributed_stream(
@@ -641,64 +873,31 @@ def _run_distributed_stream(
     mesh size / k / batching / capacity / stride — enforced).
     GA_STREAM_ABORT_AFTER_BATCH=<n> injects a failure after n batches.
     """
-    from ..ops.count_jax import snug_capacity
     from ..utils.dna import has_ambiguous, pack_invalid_mask
     from ..utils.jaxenv import to_host
     from .mesh import axis_size
 
     d = axis_size(mesh, axis)
     b, length = reads.shape
-    wc = length - cfg.k + 1
     w = key_words(cfg.k)
-    per_dev = max(1, cfg.batch_reads // d)
-    batch_total = per_dev * d
-    nb = -(-b // batch_total)
-    cap_global = table_capacity or min(b * wc, 1 << 26)
-    c_shard = snug_capacity(int(cap_global / d * 1.3) + 64)
-    if bucket_cap is None:
-        bucket_cap = _bucket_cap_for(per_dev * wc, d, cfg.k, minimizer_len)
-
+    # Per-shard bucketed-merge auto-switch lives in the plan: the same
+    # sort-cliff bound as the single-device streaming path
+    # (models.pipeline), keyed off the PER-SHARD merge rows — at pod
+    # scale each shard's flat cap+batch merge re-enters the super-linear
+    # monolithic-sort regime the bucketed table avoids (SURVEY.md §5
+    # long-context row; VERDICT r3 item 4).
+    plan = _StreamPlan(
+        b, length, cfg, d, bucket_cap, minimizer_len, table_capacity,
+        merge_stride,
+    )
+    per_dev, batch_total, nb = plan.per_dev, plan.batch_total, plan.num_batches
+    c_shard, bucket_cap = plan.c_shard, plan.bucket_cap
+    stride, strided, recv = plan.stride, plan.strided, plan.recv
+    use_bucketed = plan.use_bucketed
+    nbk, cb, m_seg = plan.nbk, plan.cb, plan.m_seg
     any_invalid = has_ambiguous(reads)
-    stride = merge_stride or int(os.environ.get("GA_MERGE_STRIDE", "1"))
-    strided = stride > 1 and nb > 1
-    recv = _recv_rows(d, cfg.k, length, per_dev, bucket_cap, minimizer_len)
-    # Per-shard bucketed-merge auto-switch: the same sort-cliff bound as
-    # the single-device streaming path (models.pipeline), keyed off the
-    # PER-SHARD merge rows — at pod scale each shard's flat cap+batch
-    # merge re-enters the super-linear monolithic-sort regime the
-    # bucketed table avoids (SURVEY.md §5 long-context row; VERDICT r3).
-    from ..models.pipeline import BUCKETED_MIN_MERGE_ROWS
-
-    merge_rows_shard = c_shard + (stride if strided else 1) * recv
-    env_bucketed = os.environ.get("GA_BUCKETED", "auto")
-    if env_bucketed == "auto":
-        use_bucketed = merge_rows_shard >= BUCKETED_MIN_MERGE_ROWS
-    else:
-        use_bucketed = env_bucketed == "1"
-    if use_bucketed:
-        from ..ops import bucketed as bucketed_mod
-
-        nbk = int(os.environ.get("GA_BUCKETS", "256"))
-        cb, m_seg = bucketed_mod.bucket_geometry(
-            c_shard,
-            (stride if strided else 1) * recv,
-            nb=nbk,
-            cb_slack=float(os.environ.get("GA_BUCKET_SLACK", "1.25")),
-            m_slack=float(os.environ.get("GA_BUCKET_BATCH_SLACK", "1.5")),
-        )
     a2a_step = _a2a_count_bytes_per_step(d, cfg.k, bucket_cap, minimizer_len)
-    ck_params = {
-        "d": d,
-        "k": cfg.k,
-        "batch_total": batch_total,
-        "c_shard": c_shard,
-        "stride": stride if strided else 1,
-        "total_reads": b,
-        "bucket_cap": bucket_cap,
-        "bucketed": int(use_bucketed),
-    }
-    if use_bucketed:
-        ck_params.update({"nb": nbk, "cb": cb, "m": m_seg})
+    ck_params = plan.ck_params
     row_sharding = NamedSharding(mesh, P(axis))
     sharding3 = NamedSharding(mesh, P(axis, None, None))
     if strided:
@@ -1207,9 +1406,20 @@ def assemble_distributed_sharded(
             edge_words, num_unitigs, overflow,
         ) = compress(words, counts)
         _sync(num_unitigs[:1])
-        if bool(overflow):
+        ovf_bits = int(np.asarray(to_host(overflow)).reshape(-1)[0])
+        if ovf_bits:
+            which = [
+                name
+                for bit, name in (
+                    (1, "link-join"), (2, "link-pair"),
+                    (4, "rank-query"), (8, "uid-query"),
+                )
+                if ovf_bits & bit
+            ]
             raise RuntimeError(
-                "sharded compression routing overflow; increase slack caps"
+                "sharded compression routing overflow in "
+                f"{'+'.join(which)} (bits {ovf_bits}); increase the "
+                "corresponding slack cap (parallel/compress.py)"
             )
     with m.stage("spell"):
         if os.environ.get("GA_SPELL_QUADS") == "1":
