@@ -298,6 +298,34 @@ def cmd_assemble(args) -> int:
     return 0
 
 
+def cmd_reshard(args) -> int:
+    """Rewrite a mid-stream sharded checkpoint for a different mesh size
+    (elastic recovery: a preempted pod count resumes on however many
+    devices remain). Host-side only — no device work, no recounting."""
+    from .parallel.pipeline import reshard_sharded_stream_checkpoint
+
+    seqs = read_sequences(args.reads)
+    if not seqs:
+        raise SystemExit(f"no reads found in {args.reads}")
+    lens = {len(s) for s in seqs}
+    if len(lens) != 1:
+        raise SystemExit("resharding requires fixed-length reads")
+    cfg = AssemblyConfig(
+        k=args.k, read_len=next(iter(lens)),
+        batch_reads=args.batch_reads or AssemblyConfig.batch_reads,
+    )
+    reshard_sharded_stream_checkpoint(
+        args.infile, args.out, (len(seqs), cfg.read_len), cfg,
+        args.devices, table_capacity=args.table_capacity,
+        merge_stride=args.merge_stride,
+    )
+    print(
+        f"resharded {args.infile} -> {args.out} for {args.devices} devices",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Contig statistics of an existing FASTA/lines file (the reference
     workflow's post-assembly inspection step — SURVEY.md §1 output row —
@@ -400,6 +428,24 @@ def build_parser() -> argparse.ArgumentParser:
                     "batches (mid-stream preemption recovery; tpu and "
                     "dist backends)")
     pa.set_defaults(fn=cmd_assemble)
+
+    pr = sub.add_parser(
+        "reshard-checkpoint",
+        help="rewrite a mid-stream sharded checkpoint for a different "
+        "mesh size (resume a preempted distributed count on the devices "
+        "that remain)",
+    )
+    pr.add_argument("infile", help="mid-stream sharded checkpoint (.npz)")
+    pr.add_argument("--out", required=True, help="rewritten checkpoint")
+    pr.add_argument("--devices", type=int, required=True,
+                    help="mesh size the resumed run will use")
+    pr.add_argument("--reads", required=True,
+                    help="the ORIGINAL reads file (shape must match)")
+    pr.add_argument("-k", type=int, default=31)
+    pr.add_argument("--batch-reads", type=int, default=None)
+    pr.add_argument("--table-capacity", type=int, default=None)
+    pr.add_argument("--merge-stride", type=int, default=None)
+    pr.set_defaults(fn=cmd_reshard)
 
     pst = sub.add_parser(
         "stats",

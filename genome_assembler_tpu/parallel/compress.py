@@ -213,10 +213,21 @@ def make_sharded_compress(
         keys = jnp.where(rec_valid[:, None], keys, SENTINEL)
         gid2 = jnp.concatenate([my_gid, my_gid])
         # owner must be a function of the NODE key alone (both tags of a
-        # node meet at one owner): hash the tag-stripped key
+        # node meet at one owner): hash the tag-stripped key. The hash is
+        # SALTED to decorrelate it from the kmer->shard routing hash:
+        # suf(K) differs from K only in w0's top two bits (verbatim when
+        # the dropped base is A), and mix_words' finalizer does not fully
+        # avalanche a top-2-bit difference into the low owner bits —
+        # unsalted, P(owner(suf(K)) == home(K)) measured 0.51 instead of
+        # 1/d, a 2x diagonal load on the join buckets that overflowed
+        # cap_join at CFG-4 3 Mb scale (r4). Xoring a constant into every
+        # word picks an independent member of the hash family, so node
+        # owners are uniform regardless of node-vs-kmer word collisions.
         node_key = jnp.concatenate([pre, suf], axis=0)
         node_key = jnp.where(rec_valid[:, None], node_key, SENTINEL)
-        node_owner = (mix_words(node_key) % jnp.uint32(d)).astype(jnp.int32)
+        node_owner = (
+            mix_words(node_key ^ jnp.uint32(0x5BD1E995)) % jnp.uint32(d)
+        ).astype(jnp.int32)
         rec = jnp.concatenate(
             [keys.astype(jnp.int32), gid2[:, None]], axis=1
         )

@@ -160,3 +160,46 @@ def test_reshard_rejects_wrong_read_set(force_stream, tmp_path,
             ck, str(tmp_path / "out.npz"), (reads.shape[0] - 1, 60), cfg,
             2, table_capacity=8192,
         )
+
+
+def test_reshard_cli_roundtrip(force_stream, tmp_path, monkeypatch):
+    """CLI surface: dist assemble writes a mid-stream snapshot under
+    fault injection; reshard-checkpoint rewrites it for a smaller mesh;
+    the resumed dist assemble reproduces the uninterrupted contigs."""
+    from genome_assembler_tpu.cli import main, read_sequences
+
+    reads_f = str(tmp_path / "reads.txt")
+    genome_f = str(tmp_path / "genome.fa")
+    assert main([
+        "simulate", "--genome-len", "2000", "--coverage", "12",
+        "--read-len", "60", "--out", reads_f, "--genome-out", genome_f,
+    ]) == 0
+    out1 = str(tmp_path / "c_full.fa")
+    base_args = [
+        "assemble", "--reads", reads_f, "-k", "15", "--backend", "dist",
+        "--batch-reads", "64", "--table-capacity", "8192",
+    ]
+    assert main(base_args + ["--devices", "8", "--out", out1]) == 0
+
+    ck = str(tmp_path / "mid.npz")
+    monkeypatch.setenv("GA_STREAM_ABORT_AFTER_BATCH", "3")
+    # main() maps user-facing RuntimeErrors (incl. the injected fault)
+    # to a clean nonzero exit
+    assert main(base_args + [
+        "--devices", "8", "--checkpoint", ck,
+        "--stream-checkpoint-every", "2",
+    ]) == 2
+    monkeypatch.delenv("GA_STREAM_ABORT_AFTER_BATCH")
+    assert pp.is_sharded_stream_checkpoint(ck)
+
+    ck2 = str(tmp_path / "mid4.npz")
+    assert main([
+        "reshard-checkpoint", ck, "--out", ck2, "--devices", "4",
+        "--reads", reads_f, "-k", "15", "--batch-reads", "64",
+        "--table-capacity", "8192",
+    ]) == 0
+    out2 = str(tmp_path / "c_resumed.fa")
+    assert main(base_args + [
+        "--devices", "4", "--resume-from", ck2, "--out", out2,
+    ]) == 0
+    assert read_sequences(out2) == read_sequences(out1)
