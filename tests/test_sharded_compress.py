@@ -119,3 +119,47 @@ def test_sharded_checkpoint_resume(tmp_path):
         assemble_distributed_sharded(
             reads, cfg, build_mesh(4), resume_from=ckpt
         )
+
+
+def test_node_owner_hash_uncorrelated_with_home_shard():
+    """Regression (r4): suf(K) differs from K only in w0's top bits, and
+    the unsalted mix_words left P(owner(suf(K)) == home(K)) at ~0.51
+    instead of 1/d — a 2x diagonal join-bucket load that overflowed
+    cap_join at CFG-4 3 Mb scale. The salted node hash must keep every
+    node-record type's home-collision probability at ~1/d."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from genome_assembler_tpu.ops.hash import mix_words
+    from genome_assembler_tpu.ops.kmer_ref import extract_canonical_np
+    from genome_assembler_tpu.ops.words_jax import (
+        prefix_node,
+        revcomp_words,
+        suffix_node,
+    )
+    from genome_assembler_tpu.utils.simulate import simulate_genome
+
+    k, d = 31, 8
+    genome = simulate_genome(100_000, seed=1050)
+    keys = extract_canonical_np(genome[None, :], k)
+    u64 = keys.astype(np.uint64)
+    packed = (u64[:, 0] << np.uint64(32)) | u64[:, 1]
+    uniq = np.unique(packed)
+    words = jnp.asarray(
+        np.stack(
+            [(uniq >> np.uint64(32)).astype(np.uint32),
+             uniq.astype(np.uint32)],
+            axis=1,
+        )
+    )
+    home = np.asarray(mix_words(words) % jnp.uint32(d))
+    rc = revcomp_words(words, k)
+    salt = jnp.uint32(0x5BD1E995)  # must match parallel/compress.link
+    for nk in (
+        prefix_node(words, k), suffix_node(words, k),
+        prefix_node(rc, k), suffix_node(rc, k),
+    ):
+        owner = np.asarray(mix_words(nk ^ salt) % jnp.uint32(d))
+        frac = float((owner == home).mean())
+        # binomial(100k-ish, 1/8): anything past 0.15 is structural
+        assert frac < 0.15, f"node-owner correlated with home: {frac}"
