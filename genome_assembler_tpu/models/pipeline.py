@@ -31,6 +31,7 @@ from ..utils.dna import key_words
 from ..utils.jaxenv import sync
 
 import os
+import sys
 
 # Above this many windows, fall back to batched streaming + table merges.
 # Single-shot (one fused extract+sort+count dispatch) is substantially
@@ -396,163 +397,191 @@ def count_reads_device(
     bw = batch * (length - cfg.k + 1)
     merge_windows = (stride if strided else 1) * bw
     env_bucketed = os.environ.get("GA_BUCKETED", "auto")
-    if env_bucketed == "auto":
-        use_bucketed = capacity + merge_windows >= BUCKETED_MIN_MERGE_ROWS
+    auto_bucketed = env_bucketed == "auto"
+    if auto_bucketed:
+        use_bucketed_sel = capacity + merge_windows >= BUCKETED_MIN_MERGE_ROWS
     else:
-        use_bucketed = env_bucketed == "1"
+        use_bucketed_sel = env_bucketed == "1"
     w = key_words(cfg.k)
-    if use_bucketed:
-        from ..ops import bucketed as bucketed_mod
 
-        nb = int(os.environ.get("GA_BUCKETS", "256"))
-        cb, m_seg = bucketed_mod.bucket_geometry(
-            capacity,
-            merge_windows,
-            nb=nb,
-            cb_slack=float(os.environ.get("GA_BUCKET_SLACK", "1.25")),
-            m_slack=float(os.environ.get("GA_BUCKET_BATCH_SLACK", "1.5")),
-        )
-        table = bucketed_mod.empty_bucketed(nb, cb, w)
-    else:
-        table = count_jax.empty_table(capacity, w)
-    # everything byte-identity depends on, pinned into mid-stream ckpts
-    ck_params = {
-        "k": cfg.k,
-        "batch": batch,
-        "capacity": capacity,
-        "stride": stride if strided else 1,
-        "total_reads": b,
-        "bucketed": int(use_bucketed),
-    }
-    if use_bucketed:
-        ck_params.update({"nb": nb, "cb": cb, "m": m_seg})
-    start_idx = 0
-    if resume_stream_from is not None:
-        ck_table, next_start, got = load_stream_checkpoint(resume_stream_from)
-        if got != ck_params:
-            raise ValueError(
-                f"mid-stream checkpoint mismatch: saved {got}, this run "
-                f"has {ck_params} — resume requires identical k/batch/"
-                "capacity/stride/read-set"
-            )
+    def _run_stream(use_bucketed: bool) -> count_jax.CountTable:
         if use_bucketed:
-            table = bucketed_mod.BucketedTable(
-                words=jnp.asarray(ck_table.words),
-                counts=jnp.asarray(ck_table.counts),
-                num_unique=jnp.asarray(ck_table.num_unique),
-                overflow=jnp.asarray(ck_table.overflow),
+            from ..ops import bucketed as bucketed_mod
+
+            nb = int(os.environ.get("GA_BUCKETS", "256"))
+            cb, m_seg = bucketed_mod.bucket_geometry(
+                capacity,
+                merge_windows,
+                nb=nb,
+                cb_slack=float(os.environ.get("GA_BUCKET_SLACK", "1.25")),
+                m_slack=float(os.environ.get("GA_BUCKET_BATCH_SLACK", "1.5")),
             )
+            table = bucketed_mod.empty_bucketed(nb, cb, w)
         else:
-            table = count_jax.CountTable(
-                words=jnp.asarray(ck_table.words),
-                counts=jnp.asarray(ck_table.counts),
-                num_unique=jnp.asarray(ck_table.num_unique),
-                overflow=jnp.asarray(ck_table.overflow),
-            )
-        start_idx = next_start // batch
-    abort_after = int(os.environ.get("GA_STREAM_ABORT_AFTER_BATCH", "0"))
-    since_ckpt = 0
-    if strided:
-        # Deferred merges: extraction appends raw keys to a device pending
-        # buffer; the two cap-row merge sorts run once per ``stride``
-        # batches. Bit-identical to stride=1 (merge_raw_keys is
-        # associative over key streams and ignores sentinel rows; tested).
-        # The tail flush slices the filled prefix, so stale keys from a
-        # previous merge round are never re-merged.
-        from ..ops.kmer_jax import SENTINEL
-
-        pending_buf = jnp.full(
-            (stride * bw, w), SENTINEL, dtype=jnp.uint32
-        )
-        slot = 0
-    # upload prefetch depth: batch i's DMA rides under batch i-1's (and
-    # i-2's) compute; depth 2 also hides the host-side pack_codes of the
-    # next batch behind the queued device work (GA_UPLOAD_PREFETCH=1
-    # restores the r2 single-buffer behavior)
-    prefetch = max(1, int(os.environ.get("GA_UPLOAD_PREFETCH", "2")))
-    uploads: dict[int, tuple] = {}
-
-    def ensure_uploaded(j):
-        if j < len(starts) and j not in uploads:
-            uploads[j] = upload(starts[j])
-
-    for j in range(start_idx, min(start_idx + prefetch, len(starts))):
-        ensure_uploaded(j)
-    for i in range(start_idx, len(starts)):
-        start = starts[i]
-        chunk_dev, bm_dev = uploads.pop(i)
-        ensure_uploaded(i + prefetch)
-        if i + 1 < len(starts):
-            ensure_uploaded(i + 1)
-        # b is the pre-padding read count captured above: with use_pallas
-        # the reads array itself was padded to a 256-row multiple, so
-        # reads.shape[0] would overcount the valid rows
-        n_valid = np.int32(min(max(b - start, 0), batch))
+            table = count_jax.empty_table(capacity, w)
+        # everything byte-identity depends on, pinned into mid-stream ckpts
+        ck_params = {
+            "k": cfg.k,
+            "batch": batch,
+            "capacity": capacity,
+            "stride": stride if strided else 1,
+            "total_reads": b,
+            "bucketed": int(use_bucketed),
+        }
+        if use_bucketed:
+            ck_params.update({"nb": nb, "cb": cb, "m": m_seg})
+        start_idx = 0
+        if resume_stream_from is not None:
+            ck_table, next_start, got = load_stream_checkpoint(resume_stream_from)
+            if got != ck_params:
+                raise ValueError(
+                    f"mid-stream checkpoint mismatch: saved {got}, this run "
+                    f"has {ck_params} — resume requires identical k/batch/"
+                    "capacity/stride/read-set"
+                )
+            if use_bucketed:
+                table = bucketed_mod.BucketedTable(
+                    words=jnp.asarray(ck_table.words),
+                    counts=jnp.asarray(ck_table.counts),
+                    num_unique=jnp.asarray(ck_table.num_unique),
+                    overflow=jnp.asarray(ck_table.overflow),
+                )
+            else:
+                table = count_jax.CountTable(
+                    words=jnp.asarray(ck_table.words),
+                    counts=jnp.asarray(ck_table.counts),
+                    num_unique=jnp.asarray(ck_table.num_unique),
+                    overflow=jnp.asarray(ck_table.overflow),
+                )
+            start_idx = next_start // batch
+        abort_after = int(os.environ.get("GA_STREAM_ABORT_AFTER_BATCH", "0"))
+        since_ckpt = 0
         if strided:
-            pending_buf = _extract_append(
-                pending_buf, chunk_dev, cfg.k, n_valid, np.int32(slot),
-                use_pallas, read_len=length, inv_mask=bm_dev,
+            # Deferred merges: extraction appends raw keys to a device pending
+            # buffer; the two cap-row merge sorts run once per ``stride``
+            # batches. Bit-identical to stride=1 (merge_raw_keys is
+            # associative over key streams and ignores sentinel rows; tested).
+            # The tail flush slices the filled prefix, so stale keys from a
+            # previous merge round are never re-merged.
+            from ..ops.kmer_jax import SENTINEL
+
+            pending_buf = jnp.full(
+                (stride * bw, w), SENTINEL, dtype=jnp.uint32
             )
-            slot += 1
-            if slot == stride:
-                if use_bucketed:
-                    table = bucketed_mod.merge_raw_keys_bucketed(
-                        table, pending_buf, m=m_seg
-                    )
-                else:
-                    table = _merge_pending(table, pending_buf)
-                slot = 0
-        elif use_bucketed:
-            table = _stream_step_bucketed(
-                table, chunk_dev, cfg.k, n_valid, use_pallas,
-                read_len=length, inv_mask=bm_dev, m=m_seg,
-            )
-        elif i == start_idx and resume_stream_from is None:
-            # batch-1 fast path: the first batch counts straight into a
-            # fresh table (padded to capacity) — merging into an all-
-            # sentinel table would pay two capacity-row sorts for
-            # nothing (bit-identical; merge_raw_keys of an empty table
-            # IS count + truncate)
-            table = _count_batch(
-                chunk_dev, cfg.k, n_valid, use_pallas,
-                out_cap=capacity, read_len=length, inv_mask=bm_dev,
-            )
-        else:
-            table = _stream_step(
-                table, chunk_dev, cfg.k, n_valid, use_pallas,
-                read_len=length, inv_mask=bm_dev,
-                merge_raw=True,
-                out_cap=capacity,
-            )
-        since_ckpt += 1
-        at_merge_boundary = (not strided) or slot == 0
-        if (
-            stream_checkpoint is not None
-            and stream_checkpoint_every > 0
-            and since_ckpt >= stream_checkpoint_every
-            and at_merge_boundary
-            and i + 1 < len(starts)
-        ):
-            save_stream_checkpoint(
-                table, stream_checkpoint,
-                next_start=starts[i + 1], params=ck_params,
-            )
-            since_ckpt = 0
-        if abort_after and (i + 1 - start_idx) >= abort_after:
-            raise RuntimeError(
-                f"fault injection: GA_STREAM_ABORT_AFTER_BATCH="
-                f"{abort_after} reached at batch {i + 1}/{len(starts)}"
-            )
-    if strided and slot:
+            slot = 0
+        # upload prefetch depth: batch i's DMA rides under batch i-1's (and
+        # i-2's) compute; depth 2 also hides the host-side pack_codes of the
+        # next batch behind the queued device work (GA_UPLOAD_PREFETCH=1
+        # restores the r2 single-buffer behavior)
+        prefetch = max(1, int(os.environ.get("GA_UPLOAD_PREFETCH", "2")))
+        uploads: dict[int, tuple] = {}
+
+        def ensure_uploaded(j):
+            if j < len(starts) and j not in uploads:
+                uploads[j] = upload(starts[j])
+
+        for j in range(start_idx, min(start_idx + prefetch, len(starts))):
+            ensure_uploaded(j)
+        for i in range(start_idx, len(starts)):
+            start = starts[i]
+            chunk_dev, bm_dev = uploads.pop(i)
+            ensure_uploaded(i + prefetch)
+            if i + 1 < len(starts):
+                ensure_uploaded(i + 1)
+            # b is the pre-padding read count captured above: with use_pallas
+            # the reads array itself was padded to a 256-row multiple, so
+            # reads.shape[0] would overcount the valid rows
+            n_valid = np.int32(min(max(b - start, 0), batch))
+            if strided:
+                pending_buf = _extract_append(
+                    pending_buf, chunk_dev, cfg.k, n_valid, np.int32(slot),
+                    use_pallas, read_len=length, inv_mask=bm_dev,
+                )
+                slot += 1
+                if slot == stride:
+                    if use_bucketed:
+                        table = bucketed_mod.merge_raw_keys_bucketed(
+                            table, pending_buf, m=m_seg
+                        )
+                    else:
+                        table = _merge_pending(table, pending_buf)
+                    slot = 0
+            elif use_bucketed:
+                table = _stream_step_bucketed(
+                    table, chunk_dev, cfg.k, n_valid, use_pallas,
+                    read_len=length, inv_mask=bm_dev, m=m_seg,
+                )
+            elif i == start_idx and resume_stream_from is None:
+                # batch-1 fast path: the first batch counts straight into a
+                # fresh table (padded to capacity) — merging into an all-
+                # sentinel table would pay two capacity-row sorts for
+                # nothing (bit-identical; merge_raw_keys of an empty table
+                # IS count + truncate)
+                table = _count_batch(
+                    chunk_dev, cfg.k, n_valid, use_pallas,
+                    out_cap=capacity, read_len=length, inv_mask=bm_dev,
+                )
+            else:
+                table = _stream_step(
+                    table, chunk_dev, cfg.k, n_valid, use_pallas,
+                    read_len=length, inv_mask=bm_dev,
+                    merge_raw=True,
+                    out_cap=capacity,
+                )
+            since_ckpt += 1
+            at_merge_boundary = (not strided) or slot == 0
+            if (
+                stream_checkpoint is not None
+                and stream_checkpoint_every > 0
+                and since_ckpt >= stream_checkpoint_every
+                and at_merge_boundary
+                and i + 1 < len(starts)
+            ):
+                save_stream_checkpoint(
+                    table, stream_checkpoint,
+                    next_start=starts[i + 1], params=ck_params,
+                )
+                since_ckpt = 0
+            if abort_after and (i + 1 - start_idx) >= abort_after:
+                raise RuntimeError(
+                    f"fault injection: GA_STREAM_ABORT_AFTER_BATCH="
+                    f"{abort_after} reached at batch {i + 1}/{len(starts)}"
+                )
+        if strided and slot:
+            if use_bucketed:
+                table = bucketed_mod.merge_raw_keys_bucketed(
+                    table, pending_buf[: slot * bw], m=m_seg
+                )
+            else:
+                table = _merge_pending(table, pending_buf[: slot * bw])
         if use_bucketed:
-            table = bucketed_mod.merge_raw_keys_bucketed(
-                table, pending_buf[: slot * bw], m=m_seg
+            table = bucketed_mod.flatten_bucketed(table, capacity=capacity)
+        return table
+
+    if use_bucketed_sel and auto_bucketed and resume_stream_from is None:
+        # The bucketed layout is an auto-selected optimization, so its
+        # failure to compile or run on a given backend (e.g. the r3
+        # remote-compile HTTP 500s at 40 Mb geometry,
+        # tools/probe_bucketed_pipeline_results.json) must degrade to
+        # the flat merge — slower past the sort cliff, bit-identical —
+        # not kill the run. Only backend errors are caught: overflow
+        # and fault injection raise RuntimeError and propagate, and an
+        # explicit GA_BUCKETED=1 or a bucketed-layout resume fails
+        # loudly (a mid-stream layout switch cannot be bit-identical).
+        try:
+            table = _run_stream(True)
+            sync(table.num_unique)  # surface async dispatch errors now
+            return table
+        except jax.errors.JaxRuntimeError as e:
+            print(
+                "ga-tpu: bucketed streaming merge failed on this "
+                f"backend ({str(e).splitlines()[0][:120]}); retrying "
+                "with the flat merge (bit-identical, slower at scale)",
+                file=sys.stderr,
+                flush=True,
             )
-        else:
-            table = _merge_pending(table, pending_buf[: slot * bw])
-    if use_bucketed:
-        table = bucketed_mod.flatten_bucketed(table, capacity=capacity)
-    return table
+            return _run_stream(False)
+    return _run_stream(use_bucketed_sel)
 
 
 def table_to_host_counts(

@@ -301,3 +301,64 @@ def test_bucketed_resume_rejects_flat_checkpoint(tmp_path, monkeypatch):
             reads, cfg, table_capacity=cap, resume_stream_from=ck
         )
     monkeypatch.setenv("GA_BUCKETED", "auto")
+
+
+def _boom(*a, **k):
+    import jax
+
+    raise jax.errors.JaxRuntimeError(
+        "INTERNAL: remote_compile: HTTP 500 (simulated backend failure)"
+    )
+
+
+def test_bucketed_auto_fallback_on_backend_error(monkeypatch, capsys):
+    """An AUTO-selected bucketed merge that fails at compile/run time
+    (the r3 remote-compile HTTP 500s, tools/probe_bucketed_pipeline_
+    results.json) degrades to the flat merge bit-identically instead of
+    killing the run (models/pipeline.count_reads_device dispatcher)."""
+    import jax
+
+    from genome_assembler_tpu.models import pipeline
+
+    reads, _ = _reads()
+    cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
+    cap = 8192
+    monkeypatch.setenv("GA_BUCKETED", "0")
+    flat = count_reads_device(reads, cfg, table_capacity=cap)
+
+    monkeypatch.setenv("GA_BUCKETED", "auto")
+    monkeypatch.setattr(pipeline, "BUCKETED_MIN_MERGE_ROWS", 1)
+    # Both bucketed entry points: the jitted fused step resolves at the
+    # pipeline module level, the strided/tail merges at the ops module.
+    monkeypatch.setattr(pipeline, "_stream_step_bucketed", _boom)
+    monkeypatch.setattr(bucketed, "merge_raw_keys_bucketed", _boom)
+    for stride in (1, 2):
+        got = count_reads_device(
+            reads, cfg, table_capacity=cap, merge_stride=stride
+        )
+        assert int(flat.num_unique) == int(got.num_unique)
+        np.testing.assert_array_equal(
+            np.asarray(flat.words), np.asarray(got.words)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(flat.counts), np.asarray(got.counts)
+        )
+    err = capsys.readouterr().err
+    assert "bucketed streaming merge failed" in err
+
+
+def test_bucketed_explicit_backend_error_propagates(monkeypatch):
+    """GA_BUCKETED=1 is an explicit user choice — no silent fallback."""
+    import jax
+    import pytest as _pytest
+
+    from genome_assembler_tpu.models import pipeline
+
+    reads, _ = _reads()
+    cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
+    monkeypatch.setenv("GA_BUCKETED", "1")
+    monkeypatch.setenv("GA_BUCKETS", "8")
+    monkeypatch.setattr(pipeline, "_stream_step_bucketed", _boom)
+    monkeypatch.setattr(bucketed, "merge_raw_keys_bucketed", _boom)
+    with _pytest.raises(jax.errors.JaxRuntimeError):
+        count_reads_device(reads, cfg, table_capacity=8192)
