@@ -21,6 +21,7 @@ residue, per SURVEY.md §7 M4/M5.
 from __future__ import annotations
 
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -775,7 +776,7 @@ class _StreamPlan:
     check then guarantees the rewritten snapshot is acceptable."""
 
     def __init__(self, b, length, cfg, d, bucket_cap, minimizer_len,
-                 table_capacity, merge_stride):
+                 table_capacity, merge_stride, force_flat=False):
         from ..ops.count_jax import snug_capacity
 
         self.d = d
@@ -806,6 +807,10 @@ class _StreamPlan:
             self.use_bucketed = merge_rows_shard >= BUCKETED_MIN_MERGE_ROWS
         else:
             self.use_bucketed = env_bucketed == "1"
+        if force_flat:
+            # fallback dispatcher (_run_distributed_stream): the bucketed
+            # program failed on this backend; rerun with the flat merge
+            self.use_bucketed = False
         self.nbk = self.cb = self.m_seg = None
         if self.use_bucketed:
             from ..ops import bucketed as bucketed_mod
@@ -850,6 +855,65 @@ def _run_distributed_stream(
     stream_checkpoint_every: int = 0,
     resume_stream_from: str | None = None,
 ):
+    """Fallback dispatcher around _run_distributed_stream_impl: when the
+    per-shard bucketed merge was AUTO-selected (same sort-cliff bound as
+    models.pipeline) and its program raises JaxRuntimeError at
+    compile/run time, the stream reruns with the flat per-shard merge —
+    bit-identical, slower past the sort cliff — instead of dying.
+    Mirrors the single-device dispatcher in count_reads_device; an
+    explicit GA_BUCKETED=1 or a bucketed-layout resume fails loudly (a
+    mid-stream layout switch cannot be bit-identical). A failed attempt's
+    h2d/a2a metrics stay counted: those bytes really moved."""
+    kw = dict(
+        metrics=metrics, stream_checkpoint=stream_checkpoint,
+        stream_checkpoint_every=stream_checkpoint_every,
+        resume_stream_from=resume_stream_from,
+    )
+    if (
+        os.environ.get("GA_BUCKETED", "auto") == "auto"
+        and resume_stream_from is None
+    ):
+        from .mesh import axis_size
+
+        b, length = reads.shape
+        plan = _StreamPlan(
+            b, length, cfg, axis_size(mesh, axis), bucket_cap,
+            minimizer_len, table_capacity, merge_stride,
+        )
+        if plan.use_bucketed:
+            try:
+                return _run_distributed_stream_impl(
+                    reads, cfg, mesh, bucket_cap, axis, minimizer_len,
+                    table_capacity, merge_stride, **kw,
+                )
+            except jax.errors.JaxRuntimeError as e:
+                print(
+                    "ga-tpu: per-shard bucketed merge failed on this "
+                    f"backend ({str(e).splitlines()[0][:120]}); retrying "
+                    "with the flat per-shard merge (bit-identical, "
+                    "slower at scale)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                return _run_distributed_stream_impl(
+                    reads, cfg, mesh, bucket_cap, axis, minimizer_len,
+                    table_capacity, merge_stride, force_flat=True, **kw,
+                )
+    return _run_distributed_stream_impl(
+        reads, cfg, mesh, bucket_cap, axis, minimizer_len,
+        table_capacity, merge_stride, **kw,
+    )
+
+
+def _run_distributed_stream_impl(
+    reads: np.ndarray, cfg: AssemblyConfig, mesh: Mesh,
+    bucket_cap: int | None, axis, minimizer_len: int | None,
+    table_capacity: int | None, merge_stride: int | None = None,
+    metrics=None, stream_checkpoint: str | None = None,
+    stream_checkpoint_every: int = 0,
+    resume_stream_from: str | None = None,
+    force_flat: bool = False,
+):
     """Streamed counterpart of _run_distributed_step: batches of
     cfg.batch_reads global reads stream through
     make_distributed_stream_count with double-buffered uploads.
@@ -888,7 +952,7 @@ def _run_distributed_stream(
     # long-context row; VERDICT r3 item 4).
     plan = _StreamPlan(
         b, length, cfg, d, bucket_cap, minimizer_len, table_capacity,
-        merge_stride,
+        merge_stride, force_flat=force_flat,
     )
     per_dev, batch_total, nb = plan.per_dev, plan.batch_total, plan.num_batches
     c_shard, bucket_cap = plan.c_shard, plan.bucket_cap

@@ -237,3 +237,62 @@ def test_bucketed_auto_switch_keys_off_per_shard_merge_rows(
     monkeypatch.delenv("GA_STREAM_ABORT_AFTER_BATCH")
     _, _, params = pp.load_sharded_stream_checkpoint(ck)
     assert params["bucketed"] == 0
+
+
+def _boom_factory(*a, **k):
+    def _boom(*aa, **kk):
+        import jax
+
+        raise jax.errors.JaxRuntimeError(
+            "INTERNAL: remote_compile: HTTP 500 (simulated)"
+        )
+
+    return _boom
+
+
+def test_bucketed_auto_fallback_distributed(force_stream, monkeypatch,
+                                            capsys):
+    """AUTO-selected per-shard bucketed merges degrade to the flat
+    sharded merge when the bucketed program fails at compile/run time
+    (parallel.pipeline._run_distributed_stream dispatcher), mirroring
+    the single-device fallback in models.pipeline."""
+    codes = _reads()
+    cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
+    mesh = build_mesh(4)
+    monkeypatch.setenv("GA_BUCKETED", "0")
+    flat = pp.distributed_count_to_host(
+        codes, cfg, mesh, table_capacity=4096
+    )
+    monkeypatch.setenv("GA_BUCKETED", "auto")
+    monkeypatch.setattr(mp, "BUCKETED_MIN_MERGE_ROWS", 1)
+    monkeypatch.setattr(
+        pp, "make_distributed_stream_count_bucketed", _boom_factory
+    )
+    monkeypatch.setattr(
+        pp, "make_distributed_pending_merge_bucketed", _boom_factory
+    )
+    got = pp.distributed_count_to_host(
+        codes, cfg, mesh, table_capacity=4096
+    )
+    assert got == flat == count_canonical_fast(codes, cfg.k)
+    assert "per-shard bucketed merge failed" in capsys.readouterr().err
+
+
+def test_bucketed_explicit_distributed_failure_propagates(
+    force_stream, monkeypatch
+):
+    """GA_BUCKETED=1 on the distributed stream: no silent fallback."""
+    import jax
+
+    codes = _reads()
+    cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
+    mesh = build_mesh(2)
+    monkeypatch.setenv("GA_BUCKETED", "1")
+    monkeypatch.setattr(
+        pp, "make_distributed_stream_count_bucketed", _boom_factory
+    )
+    monkeypatch.setattr(
+        pp, "make_distributed_pending_merge_bucketed", _boom_factory
+    )
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        pp.distributed_count_to_host(codes, cfg, mesh, table_capacity=4096)
