@@ -44,6 +44,11 @@ SINGLE_SHOT_WINDOWS = int(os.environ.get("GA_SINGLE_SHOT_WINDOWS", 1 << 27))
 # where lax.sort degrades super-linearly (~13 ns/row at 81M vs 3.96 at
 # 17M, tools/measure_stride_cfg2_results.json) while batched bucket
 # sorts stay at 1.5-2.1 ns/row (tools/probe_batched_merge_results.json).
+# The threshold is MEASURED on the real chip (2026-08-20, full count
+# stage on/off, tools/measure_count_stage_results.json): flat wins at
+# 24.6-30.9M merge rows (bucketed +9-21%), bucketed wins at 39.3M
+# (1.17x), 43.5M (1.22x), 68.7M (1.44x); the wall-ratio crossover
+# interpolates to ~33.6M rows — 2^25 sits on it.
 # GA_BUCKETED=1/0 forces it on/off; "auto" (default) applies this bound.
 BUCKETED_MIN_MERGE_ROWS = int(
     os.environ.get("GA_BUCKETED_MIN_MERGE_ROWS", 1 << 25)

@@ -23,6 +23,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from genome_assembler_tpu.utils import jaxenv
 
 jaxenv.setup()
