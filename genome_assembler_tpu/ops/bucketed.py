@@ -46,6 +46,7 @@ BASELINE.md throughput bar. The reference mount is empty this session
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
