@@ -73,12 +73,56 @@ def main() -> int:
     # kmer_jax.SENTINEL) triggers backend init inside the imports below,
     # and it runs in a deadline-killed subprocess so a hung init cannot
     # consume the whole bench timeout (GA_BENCH_INIT_TIMEOUT seconds).
+    #
+    # r5 (VERDICT r4 item 2): a single failed probe no longer dooms the
+    # round to a CPU artifact — the relay died transiently in r4 and
+    # returned minutes later. Retry inside a bounded window
+    # (GA_BENCH_RETRY_DEADLINE s total, default 600): the cheap 2 s TCP
+    # probe of the relay port gates each expensive subprocess probe, so
+    # a dead relay costs one sleep per cycle, not a hung init. The loud
+    # CPU fallback remains the terminal case, with the timed retry log
+    # on stderr as the artifact's tail.
     fell_back = False
     if os.environ.get("GA_PLATFORM") != "cpu":
+        from genome_assembler_tpu.utils.jaxenv import tunnel_alive
+
         probe_timeout = float(os.environ.get("GA_BENCH_INIT_TIMEOUT", 300))
-        if not _axon_probe_ok(probe_timeout):
-            print("# axon backend unavailable or init hung; falling back "
-                  "to cpu", file=sys.stderr)
+        retry_deadline = float(
+            os.environ.get("GA_BENCH_RETRY_DEADLINE", 600)
+        )
+        retry_interval = float(
+            os.environ.get("GA_BENCH_RETRY_INTERVAL", 30)
+        )
+        t_probe0 = time.time()
+        attempt = 0
+        tpu_ok = False
+        while True:
+            attempt += 1
+            elapsed = time.time() - t_probe0
+            if tunnel_alive():
+                if _axon_probe_ok(probe_timeout):
+                    tpu_ok = True
+                    break
+                print(
+                    f"# axon probe attempt {attempt} at t={elapsed:.0f}s: "
+                    "relay TCP up but backend init/exec failed",
+                    file=sys.stderr, flush=True,
+                )
+            else:
+                print(
+                    f"# axon probe attempt {attempt} at t={elapsed:.0f}s: "
+                    "relay TCP down",
+                    file=sys.stderr, flush=True,
+                )
+            if time.time() - t_probe0 + retry_interval > retry_deadline:
+                break
+            time.sleep(retry_interval)
+        if not tpu_ok:
+            print(
+                f"# axon backend unavailable after {attempt} probe "
+                f"attempt(s) over {time.time() - t_probe0:.0f}s; falling "
+                "back to cpu", file=sys.stderr,
+            )
             jax.config.update("jax_platforms", "cpu")
             fell_back = True
     try:

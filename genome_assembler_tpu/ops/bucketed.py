@@ -46,7 +46,6 @@ BASELINE.md throughput bar. The reference mount is empty this session
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple
 
 import jax
@@ -103,6 +102,7 @@ def _route_and_pack(
     nb: int,
     m: int,
     payload: jax.Array | None = None,
+    full_order: bool = True,
 ):
     """Sort rows by (bucket, key) and pack each bucket's segment.
 
@@ -111,13 +111,22 @@ def _route_and_pack(
     (payload 0). The monolithic sort runs over just the batch rows —
     below the sort cliff by construction (batch sizing rules,
     RESULTS.md) — and is the only non-batched sort in the merge.
+
+    full_order=False sorts by the bucket column ONLY (num_keys=1, same
+    operand count, 1-word comparator instead of 1+W): rows group by
+    bucket in stable batch order instead of key order. Correctness
+    never needs within-bucket key order here — the downstream batched
+    merge re-sorts every bucket's rows lexicographically before the
+    run-length reduce — so the staged/accumulated path uses the cheap
+    route. The full order is kept for ``bucketize`` (table rows stay
+    per-bucket sorted, the documented BucketedTable layout).
     """
     n, w = keys.shape
     bkt = _bucket_of(keys, nb)
     operands = (bkt,) + tuple(keys[:, i] for i in range(w))
     if payload is not None:
         operands = operands + (payload,)
-    out = jax.lax.sort(operands, num_keys=1 + w)
+    out = jax.lax.sort(operands, num_keys=(1 + w) if full_order else 1)
     ks = jnp.stack(out[1 : 1 + w], axis=1)
     pay_s = out[1 + w] if payload is not None else None
     # starts per bucket over the sorted bucket column; bucket nb
@@ -199,13 +208,74 @@ def empty_bucketed(nb: int, cb: int, w: int) -> BucketedTable:
     )
 
 
+def merge_packed_bucketed_impl(
+    bt: BucketedTable,
+    packed: jax.Array,
+    extra_overflow: jax.Array | None = None,
+) -> BucketedTable:
+    """Merge pre-routed per-bucket rows into the bucketed table.
+
+    ``packed`` is [nb, S, W] with each row already in its key's bucket
+    (SENTINEL rows anywhere are ignored by the reduce; within-bucket
+    order is irrelevant — the batched merge sort orders them). One
+    batched [nb, cb+S] weighted sort + batched reduce; every bulk sort
+    runs at batched-shape throughput regardless of total table size.
+
+    This is the merge half of merge_raw_keys_bucketed, split out so the
+    accumulated streaming path (models.pipeline GA_BUCKET_ACCUM /
+    extraction-side pre-packing) can stage R routed batches and pay the
+    cb-row table re-sort once per R batches instead of per batch.
+    """
+    nb, cb, w = bt.words.shape
+    s = packed.shape[1]
+    merged = jnp.concatenate([bt.words, packed], axis=1)
+    wts = jnp.concatenate(
+        [bt.counts, jnp.ones((nb, s), jnp.int32)], axis=1
+    )
+    out = jax.lax.sort(
+        tuple(merged[:, :, i] for i in range(w)) + (wts,), num_keys=w
+    )
+    words_s = jnp.stack(out[:w], axis=2)
+    unique, counts, num_u = _batched_weighted_reduce(words_s, out[w])
+    overflow = bt.overflow | jnp.any(num_u > cb)
+    if extra_overflow is not None:
+        overflow = overflow | extra_overflow
+    return BucketedTable(
+        words=unique[:, :cb],
+        counts=counts[:, :cb],
+        num_unique=jnp.minimum(num_u, cb),
+        overflow=overflow,
+    )
+
+
+merge_packed_bucketed = functools.partial(
+    jax.jit, donate_argnums=(0,)
+)(merge_packed_bucketed_impl)
+
+
+def route_pack_keys_impl(
+    keys: jax.Array, *, nb: int, m: int
+) -> tuple[jax.Array, jax.Array]:
+    """Route a raw [N, W] key stream into per-bucket segments without
+    merging: ([nb, m, W] packed rows, over_m flag).
+
+    The route sorts by the bucket column only (num_keys=1): the batched
+    merge re-sorts each bucket lexicographically anyway, so paying a
+    (1+W)-word comparator here is pure waste. This is the
+    extraction-side pre-packing step of the accumulated streaming
+    counter (one fused dispatch with extraction in models.pipeline).
+    """
+    packed, _, _, over_m = _route_and_pack(keys, nb, m, full_order=False)
+    return packed, over_m
+
+
 def merge_raw_keys_bucketed_impl(
     bt: BucketedTable, keys: jax.Array, *, m: int
 ) -> BucketedTable:
     """Merge a raw (unsorted, uncounted) key stream into the bucketed
     table: the batched mirror of count_jax.merge_raw_keys.
 
-    One (bucket, key) sort of the batch rows routes them; each bucket
+    One bucket-column sort of the batch rows routes them; each bucket
     then merges its segment against its table rows with ONE batched
     [nb, cb+m] weighted sort + batched reduce — every bulk sort runs at
     batched-shape throughput regardless of total table size.
@@ -214,24 +284,8 @@ def merge_raw_keys_bucketed_impl(
     ``shard_map`` (parallel.pipeline's per-shard streaming merge). The
     top-level entry point is :func:`merge_raw_keys_bucketed`.
     """
-    nb, cb, w = bt.words.shape
-    batch_w, _, _, over_m = _route_and_pack(keys, nb, m)
-    merged = jnp.concatenate([bt.words, batch_w], axis=1)
-    wts = jnp.concatenate(
-        [bt.counts, jnp.ones((nb, m), jnp.int32)], axis=1
-    )
-    out = jax.lax.sort(
-        tuple(merged[:, :, i] for i in range(w)) + (wts,), num_keys=w
-    )
-    words_s = jnp.stack(out[:w], axis=2)
-    unique, counts, num_u = _batched_weighted_reduce(words_s, out[w])
-    overflow = bt.overflow | over_m | jnp.any(num_u > cb)
-    return BucketedTable(
-        words=unique[:, :cb],
-        counts=counts[:, :cb],
-        num_unique=jnp.minimum(num_u, cb),
-        overflow=overflow,
-    )
+    packed, over_m = route_pack_keys_impl(keys, nb=bt.words.shape[0], m=m)
+    return merge_packed_bucketed_impl(bt, packed, over_m)
 
 
 merge_raw_keys_bucketed = functools.partial(

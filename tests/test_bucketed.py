@@ -224,6 +224,26 @@ def test_pipeline_bucketed_equals_flat(monkeypatch, stride):
     assert bool(flat.overflow) == bool(bkt.overflow)
 
 
+@pytest.mark.parametrize("accum", [1, 2, 4, 5])
+def test_pipeline_bucketed_accum_equals_flat(monkeypatch, accum):
+    """The accumulated staged merge (GA_BUCKET_ACCUM, extraction-side
+    pre-packing) is bit-identical to the flat path for every cadence,
+    including tail flushes of 1..accum-1 staged slots (7 batches here:
+    accum=4 leaves a 3-slot tail, accum=5 a 2-slot tail)."""
+    reads, _ = _reads()
+    cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
+    monkeypatch.setenv("GA_BUCKET_ACCUM", str(accum))
+    flat, bkt = _count_both(reads, cfg, 8192, monkeypatch)
+    assert int(flat.num_unique) == int(bkt.num_unique)
+    np.testing.assert_array_equal(
+        np.asarray(flat.words), np.asarray(bkt.words)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(flat.counts), np.asarray(bkt.counts)
+    )
+    assert bool(flat.overflow) == bool(bkt.overflow)
+
+
 def test_pipeline_bucketed_with_n_bases(monkeypatch):
     reads, _ = _reads()
     reads = reads.copy()
@@ -252,6 +272,10 @@ def test_pipeline_bucketed_assembles_genome(monkeypatch):
 
 
 def test_bucketed_kill_and_resume(tmp_path, monkeypatch):
+    # accum=2: merge boundaries (the only legal checkpoint points) fall
+    # after every 2nd batch, so the every-2-batches checkpoint below is
+    # written before the batch-3 abort
+    monkeypatch.setenv("GA_BUCKET_ACCUM", "2")
     reads, _ = _reads()
     cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
     cap = 8192
@@ -328,9 +352,12 @@ def test_bucketed_auto_fallback_on_backend_error(monkeypatch, capsys):
 
     monkeypatch.setenv("GA_BUCKETED", "auto")
     monkeypatch.setattr(pipeline, "BUCKETED_MIN_MERGE_ROWS", 1)
-    # Both bucketed entry points: the jitted fused step resolves at the
-    # pipeline module level, the strided/tail merges at the ops module.
+    # All bucketed entry points: the jitted fused steps resolve at the
+    # pipeline module level (per-batch, accum route/merge), the
+    # strided/tail merges at the ops module.
     monkeypatch.setattr(pipeline, "_stream_step_bucketed", _boom)
+    monkeypatch.setattr(pipeline, "_route_append_step", _boom)
+    monkeypatch.setattr(pipeline, "_merge_staged", _boom)
     monkeypatch.setattr(bucketed, "merge_raw_keys_bucketed", _boom)
     for stride in (1, 2):
         got = count_reads_device(
@@ -359,6 +386,8 @@ def test_bucketed_explicit_backend_error_propagates(monkeypatch):
     monkeypatch.setenv("GA_BUCKETED", "1")
     monkeypatch.setenv("GA_BUCKETS", "8")
     monkeypatch.setattr(pipeline, "_stream_step_bucketed", _boom)
+    monkeypatch.setattr(pipeline, "_route_append_step", _boom)
+    monkeypatch.setattr(pipeline, "_merge_staged", _boom)
     monkeypatch.setattr(bucketed, "merge_raw_keys_bucketed", _boom)
     with _pytest.raises(jax.errors.JaxRuntimeError):
         count_reads_device(reads, cfg, table_capacity=8192)
