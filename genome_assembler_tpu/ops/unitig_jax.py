@@ -337,6 +337,23 @@ SAMPLED_MAX_ROUNDS = 16
 # graphs.
 SAMPLED_MIN_ROWS = 1 << 21
 
+# Contraction tail for phase A of the sampled ranking (GA_RANK_CONTRACT;
+# VERDICT r4 item 3). After r rounds of doubling a lane is resolved iff
+# its nearest upstream stop is within 2^r, and ruler gaps are ~Geometric
+# with mean SAMPLE_STRIDE, so the unresolved fraction decays like
+# exp(-2^r / STRIDE): ~14% after 6 rounds, ~2% after 7. Rounds 7..11 of
+# the plain pass therefore re-gather an almost-fully-resolved array —
+# the contraction variant stops at CONTRACT_R0 full-size rounds,
+# sort-compacts the unresolved tail into an E/4 buffer, finishes the
+# doubling there (gathers priced by the small array), and recombines
+# with ONE unique-index scatter — not the per-round scatter-back that
+# was measured off in r3's straggler-compaction probe.
+CONTRACT_R0 = 6
+# capacity of the compacted tail: e/4 covers the expected ~14% at
+# r0=6 with 1.8x headroom; an overflow (pathological ruler luck or a
+# huge rulerless cycle) flips ok -> exact fallback, never wrong output
+CONTRACT_DIV = 4
+
 
 @jax.jit
 def _rank_sampled(prev: jax.Array):
@@ -372,6 +389,18 @@ def _rank_sampled(prev: jax.Array):
     prev2 = jnp.where(is_ruler, jnp.int32(-1), prev)
     steps_a = min(SAMPLED_MAX_ROUNDS, _steps_for(e))
     anc, dist, changed_a = _doubling(prev2, steps_a, track="dist")
+    head, rank, ok_bc = _phases_bc(prev, anc, dist)
+    return head, rank, ~changed_a & ok_bc
+
+
+def _phases_bc(prev: jax.Array, anc: jax.Array, dist: jax.Array):
+    """Phases B + C of the sampled ranking, shared by both phase-A
+    variants (plain doubling and the contraction tail): contract the
+    ruler list, double over it, then combine every lane's stop with its
+    stop's contracted rank. ``anc``/``dist`` must map every lane to its
+    nearest upstream stop (ruler or real head) with exact distance."""
+    e = prev.shape[0]
+    s = SAMPLE_STRIDE
 
     # B: contracted links. Ruler t's predecessor pt chains to stop
     # anc[pt] at distance dist[pt] + 1; a ruler that is a real head is a
@@ -429,7 +458,128 @@ def _rank_sampled(prev: jax.Array):
     g = cstate[jnp.where(is_r_a, anc // s, 0)]
     head = jnp.where(is_r_a, g[:, 0], anc)
     rank = jnp.where(is_r_a, dist + g[:, 1], dist)
-    return head, rank, ~changed_a & ~changed_b & ~cycle_b
+    return head, rank, ~changed_b & ~cycle_b
+
+
+@functools.partial(jax.jit, static_argnames=("r0", "div"))
+def _rank_sampled_contract(prev: jax.Array, r0: int | None = None,
+                           div: int | None = None):
+    """Sampled ranking with a sort-compacted contraction tail in phase A
+    (GA_RANK_CONTRACT=1; see CONTRACT_R0 above for the cost model).
+    r0/div override CONTRACT_R0/CONTRACT_DIV (tests force the
+    contraction legs onto tiny graphs with r0=1; production callers use
+    the defaults).
+
+    Identical contract to _rank_sampled — (head, rank, ok), integer-
+    exact on acyclic graphs, ok=False demands the exact fallback — only
+    phase A differs:
+
+      A1. CONTRACT_R0 full-size doubling rounds (early exit unchanged);
+          a lane is then resolved iff its ancestor is a stop, i.e. the
+          ancestor's own dist is 0 (stops never accumulate distance).
+      A2. unresolved lanes sort-compact (stable single-key sort on the
+          resolved flag — kept lanes stay in id order) into a static
+          E/CONTRACT_DIV buffer with their (id, target, dist).
+      A3. each compacted lane finishes against its target: a resolved
+          target supplies its final (stop, dist) directly; an
+          unresolved target is remapped into compacted space (the
+          cumsum of the unresolved mask — compaction order IS id
+          order), where doubling continues on the small array with
+          done-lanes tagged by bitwise-not stop ids (the phase-B
+          encoding trick).
+      A4. recombine: ONE unique-index scatter of the compacted rows'
+          (stop, dist) back into the full arrays — unique ids by
+          construction, so this is the same primitive as the linker's
+          prev[successor] write, not the per-round scatter-back that
+          r3 measured off.
+    """
+    e = prev.shape[0]
+    s = SAMPLE_STRIDE
+    ids = jnp.arange(e, dtype=jnp.int32)
+    is_ruler = (ids % s) == 0
+    prev2 = jnp.where(is_ruler, jnp.int32(-1), prev)
+    r0 = min(r0 or CONTRACT_R0, _steps_for(e))
+    anc, dist, changed_a = _doubling(prev2, r0, track="dist")
+
+    # A2: resolved iff the ancestor is a stop (dist[stop] stays 0;
+    # every non-stop lane has dist >= 1 from round 1 on)
+    resolved = dist[anc] == 0
+    unres = ~resolved
+    n_un = jnp.sum(unres.astype(jnp.int32))
+    e4 = min(e, max(128, -(-e // (div or CONTRACT_DIV) // 128) * 128))
+    over = n_un > e4
+    out = jax.lax.sort(
+        (resolved.astype(jnp.uint32), ids, anc, dist), num_keys=1
+    )
+    o_id = out[1][:e4]
+    o_t = out[2][:e4]
+    o_dist = out[3][:e4]
+    lane4 = jnp.arange(e4, dtype=jnp.int32)
+    valid_a = lane4 < n_un
+
+    # A3: finish against the target
+    nidx = jnp.cumsum(unres.astype(jnp.int32)) - 1
+    t_res = resolved[o_t]
+    head_t = anc[o_t]
+    add_t = dist[o_t]
+    a_anc = jnp.where(
+        valid_a & ~t_res,
+        nidx[o_t],
+        ~jnp.where(valid_a & t_res, head_t, 0),
+    )
+    a_dist = jnp.where(
+        valid_a, o_dist + jnp.where(t_res, add_t, 0), 0
+    )
+
+    def astep(state):
+        aanc, adist = state[:, 0], state[:, 1]
+        live = aanc >= 0
+        g = state[jnp.where(live, aanc, 0)]
+        new = jnp.stack(
+            [
+                jnp.where(live, g[:, 0], aanc),
+                jnp.where(live, adist + g[:, 1], adist),
+            ],
+            axis=1,
+        )
+        return new, jnp.any(new != state)
+
+    def acond(carry):
+        i, _, changed = carry
+        return (i < SAMPLED_MAX_ROUNDS) & changed
+
+    def abody(carry):
+        i, state, _ = carry
+        new, changed = astep(state)
+        return i + 1, new, changed
+
+    _, astate, _ = jax.lax.while_loop(
+        acond,
+        abody,
+        (jnp.int32(0), jnp.stack([a_anc, a_dist], axis=1), jnp.bool_(True)),
+    )
+    # every valid compacted lane must have finished (negative-tagged
+    # stop); a live lane at the round cap is a rulerless cycle —
+    # exact-fallback territory, same as changed_a in the plain pass
+    live_left = jnp.any(valid_a & (astate[:, 0] >= 0))
+
+    # A4: one unique-index scatter back into the full-size arrays
+    a_head = ~astate[:, 0]
+    scat = jnp.where(valid_a, o_id, e)
+    anc_f = anc.at[scat].set(a_head, mode="drop")
+    dist_f = dist.at[scat].set(astate[:, 1], mode="drop")
+
+    head, rank, ok_bc = _phases_bc(prev, anc_f, dist_f)
+    # changed_a needs no term of its own: if phase A already converged
+    # the contraction legs were no-ops (n_un == 0), and if it didn't the
+    # tail either finished (live_left False) or demands the fallback
+    return head, rank, ~over & ~live_left & ok_bc
+
+
+def _use_contract() -> bool:
+    import os
+
+    return os.environ.get("GA_RANK_CONTRACT", "0") == "1"
 
 
 def _resolve_chains(prev: jax.Array, valid: jax.Array):
@@ -437,7 +587,10 @@ def _resolve_chains(prev: jax.Array, valid: jax.Array):
     sampled two-level fast path, and the cycle-breaking pass (circular
     components only) runs adaptively on the exact path."""
     if prev.shape[0] >= SAMPLED_MIN_ROWS:
-        head, rank, ok = _rank_sampled(prev)
+        rank_fn = (
+            _rank_sampled_contract if _use_contract() else _rank_sampled
+        )
+        head, rank, ok = rank_fn(prev)
         if bool(ok):
             return _finalize_chains(prev, head, rank, valid)
     return _resolve_exact(prev, valid)
@@ -452,8 +605,8 @@ def _resolve_exact(prev: jax.Array, valid: jax.Array):
     return _finalize_chains(prev, anc, dist, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _compress_fused_sampled(table: CountTable, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "contract"))
+def _compress_fused_sampled(table: CountTable, k: int, contract: bool = False):
     """Build + link + sampled rank + finalize, ONE dispatch.
 
     Each staged dispatch pays a fixed ~32 ms roundtrip on the tunneled
@@ -461,11 +614,13 @@ def _compress_fused_sampled(table: CountTable, k: int):
     CFG-2); jit-of-jit inlines, so fusing the whole acyclic fast path
     into one program removes three dispatch gaps + one host bool() sync
     with zero semantic change. `ok` False (cycle / unlucky ruler gap)
-    falls back to the exact passes, same as _resolve_chains.
+    falls back to the exact passes, same as _resolve_chains. contract
+    selects the sort-compacted phase-A tail (GA_RANK_CONTRACT).
     """
     edge_words, covs, valid = _build_edges(table, k)
     prev = _link_sortjoin(edge_words, valid, k)
-    head, rank, ok = _rank_sampled(prev)
+    rank_fn = _rank_sampled_contract if contract else _rank_sampled
+    head, rank, ok = rank_fn(prev)
     uid, pos, num = _finalize_chains(prev, head, rank, valid)
     return edge_words, covs, valid, prev, uid, pos, num, ok
 
@@ -613,7 +768,7 @@ def compress_unitigs_device(table: CountTable, k: int) -> DeviceUnitigs:
     if 2 * table.words.shape[0] >= SAMPLED_MIN_ROWS:
         (
             edge_words, covs, valid, prev, uid, pos, num, ok,
-        ) = _compress_fused_sampled(table, k)
+        ) = _compress_fused_sampled(table, k, contract=_use_contract())
         if not bool(ok):  # cycle or over-cap ruler gap: exact fallback
             uid, pos, num = _resolve_exact(prev, valid)
     else:

@@ -128,6 +128,118 @@ def test_compress_device_sampled_matches_host(seed, k):
         unitig_jax.SAMPLED_MIN_ROWS = old
 
 
+# ---- contraction tail (_rank_sampled_contract, GA_RANK_CONTRACT) ----
+# r0=1 forces the A2-A4 contraction legs to engage on tiny graphs
+# (with the default r0=6 every chain under 64 edges resolves in phase
+# A and the tail is a no-op).
+
+
+def test_contract_single_chain_id_order(force_sampled):
+    # div=1: the compacted buffer holds every lane, so the contraction
+    # legs engage without tripping the e/4 overflow guard on a graph
+    # where r0=1 leaves ~75% of lanes unresolved
+    n = 300
+    prev = jnp.asarray(_chain_prev(list(range(n))))
+    head, rank, ok = unitig_jax._rank_sampled_contract(prev, r0=1, div=1)
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(head), np.zeros(n, np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(rank), np.arange(n, dtype=np.int32)
+    )
+
+
+@settings(deadline=None, max_examples=20)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 5), st.integers(1, 4))
+def test_contract_matches_plain_hypothesis(seed, nchains, r0):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 600))
+    order = rng.permutation(n)
+    prev = np.full(n, -1, np.int32)
+    for part in np.array_split(order, nchains):
+        if len(part) > 1:
+            prev[part[1:]] = part[:-1]
+    prev = jnp.asarray(prev)
+    valid = jnp.ones(n, bool)
+    head, rank, ok = unitig_jax._rank_sampled_contract(prev, r0=r0, div=1)
+    assert bool(ok)
+    uid_c, pos_c, num_c = unitig_jax._finalize_chains(prev, head, rank, valid)
+    uid_p, pos_p, num_p = _plain(prev, valid)
+    np.testing.assert_array_equal(np.asarray(uid_c), np.asarray(uid_p))
+    np.testing.assert_array_equal(np.asarray(pos_c), np.asarray(pos_p))
+    assert int(num_c) == int(num_p)
+
+
+def test_contract_equals_sampled_converged_case(force_sampled):
+    # chains shorter than 2^r0: phase A converges, contraction no-op
+    rng = np.random.default_rng(9)
+    n = 400
+    order = rng.permutation(n)
+    prev = np.full(n, -1, np.int32)
+    for part in np.array_split(order, 20):
+        if len(part) > 1:
+            prev[part[1:]] = part[:-1]
+    prev = jnp.asarray(prev)
+    hs, rs_, oks = unitig_jax._rank_sampled(prev)
+    hc, rc, okc = unitig_jax._rank_sampled_contract(prev)
+    assert bool(oks) and bool(okc)
+    np.testing.assert_array_equal(np.asarray(hs), np.asarray(hc))
+    np.testing.assert_array_equal(np.asarray(rs_), np.asarray(rc))
+
+
+def test_contract_overflow_flags_not_wrong(force_sampled):
+    # r0=1 on one long shuffled chain: far more than e4=128 lanes stay
+    # unresolved -> over trips, ok False, caller falls back (exact path)
+    rng = np.random.default_rng(3)
+    n = 4000
+    prev = jnp.asarray(_chain_prev(list(rng.permutation(n))))
+    _, _, ok = unitig_jax._rank_sampled_contract(prev, r0=1, div=31)
+    assert not bool(ok)
+
+
+def test_contract_rulerless_cycle_falls_back(force_sampled):
+    n = 40
+    prev = np.full(n, -1, np.int32)
+    cyc = list(range(5, 13))
+    for i, e in enumerate(cyc):
+        prev[e] = cyc[i - 1]
+    _, _, ok = unitig_jax._rank_sampled_contract(
+        jnp.asarray(prev), r0=1, div=1
+    )
+    assert not bool(ok)
+
+
+def test_contract_self_loop_falls_back(force_sampled):
+    prev = np.full(64, -1, np.int32)
+    prev[33] = 33
+    _, _, ok = unitig_jax._rank_sampled_contract(
+        jnp.asarray(prev), r0=1, div=1
+    )
+    assert not bool(ok)
+
+
+def test_contract_cycle_with_ruler_falls_back(force_sampled):
+    n = 200
+    prev = jnp.asarray(np.roll(np.arange(n, dtype=np.int32), 1))
+    _, _, ok = unitig_jax._rank_sampled_contract(prev, r0=1, div=1)
+    assert not bool(ok)
+
+
+def test_compress_device_contract_matches_host(monkeypatch):
+    monkeypatch.setattr(unitig_jax, "SAMPLED_MIN_ROWS", 0)
+    monkeypatch.setattr(unitig_jax, "CONTRACT_R0", 2)
+    monkeypatch.setattr(unitig_jax, "CONTRACT_DIV", 1)
+    monkeypatch.setenv("GA_RANK_CONTRACT", "1")
+    genome = simulate_genome(900, seed=17)
+    rs = simulate_reads(genome, coverage=8, read_len=61, seed=18)
+    cfg = AssemblyConfig(k=31, read_len=61)
+    table = filter_table(count_reads_device(rs.codes, cfg), 1)
+    dev = unitig_jax.compress_unitigs_device(table, 31)
+    got = _unitig_set(spell_device_unitigs(dev, 31))
+    counts = count_canonical_fast(rs.codes, 31)
+    want = _unitig_set(compress_unitigs(both_strand_edges(counts), 31))
+    assert got == want
+
+
 def test_compress_device_sampled_circular_genome():
     old = unitig_jax.SAMPLED_MIN_ROWS
     unitig_jax.SAMPLED_MIN_ROWS = 0

@@ -94,6 +94,8 @@ def main() -> int:
         "ga_bucketed_env": env_bucketed,
         "buckets": int(os.environ.get("GA_BUCKETS", "256"))
         if use_bucketed else None,
+        "accum": int(os.environ.get("GA_BUCKET_ACCUM", "4"))
+        if use_bucketed else None,
         "cold_s": round(cold_s, 1),
         "warm_s": [round(x, 2) for x in warms],
         "best_s": round(best, 2),
