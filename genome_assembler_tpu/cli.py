@@ -86,28 +86,55 @@ def _add_sim_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--read-seed", type=int, default=1)
     p.add_argument("--single-strand", action="store_true",
                    help="forward-strand reads only")
+    p.add_argument("--chromosomes", type=int, default=1,
+                   help="split --genome-len across N independent "
+                   "chromosomes (multi-contig ground truth)")
+    p.add_argument("--circular", action="store_true",
+                   help="circular chromosome(s): reads wrap the origin")
 
 
-def _simulated_reads(args) -> tuple[np.ndarray, np.ndarray]:
+def _simulated_reads(args) -> tuple[np.ndarray, list[np.ndarray]]:
+    n_chrom = getattr(args, "chromosomes", 1)
+    circular = getattr(args, "circular", False)
     if args.preset:
-        genome = preset_genome(args.preset)
+        genomes = [preset_genome(args.preset)]
     elif args.genome_len:
-        genome = simulate_genome(args.genome_len, seed=args.genome_seed)
+        if n_chrom > 1:
+            from .utils.simulate import simulate_genome_multi
+
+            per = args.genome_len // n_chrom
+            lens = [per] * (n_chrom - 1) + [args.genome_len - per * (n_chrom - 1)]
+            genomes = simulate_genome_multi(lens, seed=args.genome_seed)
+        else:
+            genomes = [simulate_genome(args.genome_len, seed=args.genome_seed)]
     else:
         raise SystemExit("need --preset or --genome-len (or --reads)")
-    rs = simulate_reads(
-        genome,
-        coverage=args.coverage,
-        read_len=args.read_len,
-        seed=args.read_seed,
-        error_rate=args.error_rate,
-        both_strands=not args.single_strand,
-    )
-    return rs.codes, genome
+    if len(genomes) > 1:
+        from .utils.simulate import simulate_reads_multi
+
+        rs = simulate_reads_multi(
+            genomes,
+            coverage=args.coverage,
+            read_len=args.read_len,
+            seed=args.read_seed,
+            error_rate=args.error_rate,
+            circular=circular,
+        )
+    else:
+        rs = simulate_reads(
+            genomes[0],
+            coverage=args.coverage,
+            read_len=args.read_len,
+            seed=args.read_seed,
+            error_rate=args.error_rate,
+            both_strands=not args.single_strand,
+            circular=circular,
+        )
+    return rs.codes, genomes
 
 
 def cmd_simulate(args) -> int:
-    codes, genome = _simulated_reads(args)
+    codes, genomes = _simulated_reads(args)
     out = open(args.out, "w") if args.out else sys.stdout
     for row in codes:
         out.write(decode_seq(row) + "\n")
@@ -115,10 +142,12 @@ def cmd_simulate(args) -> int:
         out.close()
     if args.genome_out:
         with open(args.genome_out, "w") as fh:
-            write_fasta([decode_seq(genome)], fh, prefix="genome")
+            write_fasta([decode_seq(g) for g in genomes], fh, prefix="genome")
+    total = sum(len(g) for g in genomes)
+    chrom = f" in {len(genomes)} chromosomes" if len(genomes) > 1 else ""
     print(
         f"simulated {len(codes)} reads x {codes.shape[1]} bp"
-        f" (genome {len(genome)} bp)",
+        f" (genome {total} bp{chrom})",
         file=sys.stderr,
     )
     return 0
@@ -456,7 +485,7 @@ def build_parser() -> argparse.ArgumentParser:
     pst.set_defaults(fn=cmd_stats)
 
     pc = sub.add_parser(
-        "accept", help="run driver acceptance configs (BASELINE.md 0-4)"
+        "accept", help="run driver acceptance configs (BASELINE.md 0-4 + variants 5: circular, 6: multi-chromosome)"
     )
     pc.add_argument("configs", nargs="*", type=int, default=None,
                     help="config ids (default: all)")

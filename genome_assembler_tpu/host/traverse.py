@@ -228,6 +228,33 @@ def contigs_equal(a: list[str], b: list[str]) -> bool:
     return canonicalize_contigs(a) == canonicalize_contigs(b)
 
 
+def expected_contigs_multi(
+    genomes: list[str], k: int, circular: bool | list[bool] = False
+) -> list[str]:
+    """The contig set a perfect assembly emits for these chromosomes.
+
+    A linear chromosome reconstructs as itself (compared canonically);
+    a circular one emits its cycle at the Booth least rotation over both
+    strands, re-wrapped with the first k-1 bases — exactly the
+    representation emit_contigs/emit_contigs_euler produce for closed
+    walks, so ``contigs_equal(contigs, expected_contigs_multi(...))`` is
+    the per-chromosome exactness bar for multi-chromosome and circular
+    acceptance runs (SURVEY.md §4: round-trip up to rotation for
+    circular genomes; §6: 16-chromosome yeast, circular E. coli)."""
+    from ..utils.dna import canonical_cycle
+
+    if isinstance(circular, bool):
+        circular = [circular] * len(genomes)
+    out = []
+    for g_str, circ in zip(genomes, circular):
+        if circ:
+            core = canonical_cycle(g_str)
+            out.append(core + core[: k - 1])
+        else:
+            out.append(canonical_str(g_str))
+    return out
+
+
 def kmer_content_equal(contigs: list[str], genome: str, k: int) -> bool:
     """Contigs spell exactly the genome's canonical k-mer set, once.
 

@@ -11,6 +11,11 @@ runs the TPU pipeline, checks the config's correctness bar, and emits the
   3: E. coli, 200x, k in {21,31,41}       — sort/dedup stress, >64-bit keys.
   4: yeast 12 Mb, 100x, multi-device      — sharded table, all-to-all,
                                             weak-scaling efficiency.
+  5: circular E. coli variant of 2        — origin-wrapping reads, one
+                                            closed contig up to rotation.
+  6: 16-chromosome yeast variant of 4     — pooled multi-chromosome
+                                            stream, per-chromosome exact
+                                            contigs, island handling.
 
 Scale overrides (GA_ACCEPT_SCALE in (0,1]) shrink genomes/coverage for CI;
 the full-size runs are what BENCH/acceptance report.
@@ -358,12 +363,163 @@ def accept_cfg4() -> AcceptResult:
     )
 
 
+def accept_cfg5() -> AcceptResult:
+    """Circular-genome CFG-2 variant (VERDICT r4 item 5).
+
+    The real CFG-2/3 organism is a circular E. coli (SURVEY.md §6);
+    the linear runner never exercises origin-spanning k-mers or the
+    closed-walk emission at acceptance scale. Reads wrap across the
+    origin, the de Bruijn graph closes into one cycle, and the bar is
+    the SURVEY.md §4 circular round-trip: exactly one contig equal to
+    the genome at the Booth least rotation over both strands
+    (expected_contigs_multi). Oracle cross-check below the scale cutoff
+    or on demand, as CFG-2.
+    """
+    from ..host.traverse import expected_contigs_multi
+
+    s = _scale()
+    genome_len = max(int(4_641_652 * s), 2000)
+    coverage = max(50 * max(s, 0.2), 8)
+    genome = simulate_genome(genome_len, seed=1060)
+    rs = simulate_reads(
+        genome, coverage=coverage, read_len=100, seed=1061, tile_k=31,
+        circular=True,
+    )
+    cfg = AssemblyConfig(k=31, read_len=100)
+    from .pipeline import SINGLE_SHOT_WINDOWS
+
+    total_windows = rs.num_reads * (100 - 31 + 1)
+    capacity = (
+        None if total_windows <= SINGLE_SHOT_WINDOWS
+        else snug_capacity(int(1.1 * genome_len) + 4096)
+    )
+    if os.environ.get("GA_ACCEPT_WARM") == "1":
+        assemble_tpu(rs.codes, cfg, table_capacity=capacity)
+    m = Metrics()
+    t0 = time.perf_counter()
+    contigs = assemble_tpu(rs.codes, cfg, metrics=m, table_capacity=capacity)
+    wall = time.perf_counter() - t0
+    want = expected_contigs_multi([decode_seq(genome)], 31, circular=True)
+    passed = contigs_equal(contigs, want)
+    if os.environ.get("GA_FORCE_ORACLE_CHECK") == "1" or s < 0.2:
+        oracle = assemble_oracle(rs.codes, cfg)
+        passed = passed and contigs == oracle
+    return AcceptResult(
+        5,
+        passed,
+        {
+            "variant": "cfg2_circular",
+            "genome_len": genome_len,
+            "coverage": round(coverage, 1),
+            "reads": rs.num_reads,
+            "contigs": len(contigs),
+            "contig_bases": sum(len(c) for c in contigs),
+            "rotation_exact": passed,
+            "wall_s": round(wall, 2),
+            "metrics": m.report(),
+        },
+    )
+
+
+def _yeast_chromosome_lengths(total: int, n: int = 16) -> list[int]:
+    """Deterministic yeast-like chromosome size spread summing to
+    ``total``: real S. cerevisiae chromosomes span ~230 kb to ~1.5 Mb
+    (a ~6.5x spread); a fixed geometric-ish ramp reproduces that shape
+    at any acceptance scale."""
+    w = [1.0 + 5.5 * i / (n - 1) for i in range(n)]
+    sw = sum(w)
+    lens = [max(int(total * wi / sw), 200) for wi in w]
+    lens[-1] += total - sum(lens)  # exact total
+    return lens
+
+
+def accept_cfg6() -> AcceptResult:
+    """Multi-chromosome CFG-4 variant: 16-chromosome yeast-like 12 Mb
+    (VERDICT r4 item 5 — the first acceptance-scale exercise of
+    multi-contig emission and island handling).
+
+    Reads from all chromosomes pool into one shuffled stream; the
+    distributed gathered and fully-sharded graph paths must agree, the
+    sharded counts must equal the host reference bit-for-bit, and the
+    contig set must be per-chromosome exact (each chromosome one
+    contig, expected_contigs_multi).
+    """
+    import datetime
+    import jax
+
+    from ..host.traverse import expected_contigs_multi
+    from ..parallel.mesh import build_mesh
+    from ..parallel.pipeline import (
+        assemble_distributed,
+        assemble_distributed_sharded,
+        distributed_count_to_host,
+    )
+    from ..utils.simulate import simulate_genome_multi, simulate_reads_multi
+    from .oracle import count_canonical_fast
+
+    s = _scale()
+    total = max(int(12_000_000 * s), 32_000)
+    coverage = max(100 * max(s, 0.2), 8)
+    lens = _yeast_chromosome_lengths(total)
+    genomes = simulate_genome_multi(lens, seed=1070)
+    rs = simulate_reads_multi(
+        genomes, coverage=coverage, read_len=100, seed=1071, tile_k=31
+    )
+    cfg = AssemblyConfig(k=31, read_len=100)
+    capacity = snug_capacity(int(1.5 * total) + 4096)
+    n_dev = len(jax.devices())
+    mesh = build_mesh(n_dev)
+    counts = distributed_count_to_host(
+        rs.codes, cfg, mesh, table_capacity=capacity
+    )
+    counts_ok = counts == count_canonical_fast(rs.codes, cfg.k)
+    m_sharded = Metrics()
+    t0 = time.perf_counter()
+    contigs = assemble_distributed(
+        rs.codes, cfg, mesh, table_capacity=capacity
+    )
+    sharded = assemble_distributed_sharded(
+        rs.codes, cfg, mesh, table_capacity=capacity, metrics=m_sharded
+    )
+    wall = time.perf_counter() - t0
+    want = expected_contigs_multi([decode_seq(g) for g in genomes], 31)
+    per_chrom = contigs_equal(contigs, want)
+    paths_agree = sharded == contigs
+    passed = counts_ok and per_chrom and paths_agree
+    if os.environ.get("GA_FORCE_ORACLE_CHECK") == "1" or s < 0.2:
+        oracle = assemble_oracle(rs.codes, cfg)
+        passed = passed and contigs == oracle
+    return AcceptResult(
+        6,
+        passed,
+        {
+            "variant": "cfg4_multichromosome",
+            "chromosomes": len(lens),
+            "chromosome_lens": lens,
+            "total_len": total,
+            "coverage": round(coverage, 1),
+            "reads": rs.num_reads,
+            "scale": s,
+            "date": datetime.date.today().isoformat(),
+            "devices": n_dev,
+            "counts_match_host": counts_ok,
+            "per_chromosome_exact": per_chrom,
+            "paths_agree": paths_agree,
+            "contigs": len(contigs),
+            "assembly_wall_s": round(wall, 1),
+            "sharded_run_metrics": m_sharded.report(),
+        },
+    )
+
+
 RUNNERS: dict[int, Callable[[], AcceptResult]] = {
     0: accept_cfg0,
     1: accept_cfg1,
     2: accept_cfg2,
     3: accept_cfg3,
     4: accept_cfg4,
+    5: accept_cfg5,
+    6: accept_cfg6,
 }
 
 

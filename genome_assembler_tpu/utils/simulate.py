@@ -66,6 +66,24 @@ def preset_genome(name: str) -> np.ndarray:
     return simulate_genome(length, seed)
 
 
+def simulate_genome_multi(
+    lengths: list[int], seed: int, gc: float = 0.5
+) -> list[np.ndarray]:
+    """Independent random chromosomes (SURVEY.md §6: the CFG-4 organism
+    is a 16-chromosome yeast; multi-contig assembly needs multi-sequence
+    ground truth). Chromosome i draws from its own spawned stream, so
+    the set is reproducible from one seed and chromosomes never share
+    long subsequences (k-mer cross-hits at k >= 21 are ~G^2/4^k —
+    negligible at every acceptance scale)."""
+    streams = np.random.SeedSequence(seed).spawn(len(lengths))
+    out = []
+    for length, ss in zip(lengths, streams):
+        rng = np.random.default_rng(ss)
+        p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+        out.append(rng.choice(4, size=length, p=p).astype(np.uint8))
+    return out
+
+
 def simulate_reads(
     genome: np.ndarray,
     *,
@@ -76,6 +94,7 @@ def simulate_reads(
     both_strands: bool = True,
     tile_exactly: bool = True,
     tile_k: int | None = None,
+    circular: bool = False,
 ) -> ReadSet:
     """Simulate fixed-length substitution-error reads from ``genome``.
 
@@ -87,12 +106,24 @@ def simulate_reads(
     start position falls between tiled reads (the exact-contig acceptance
     bar, BASELINE.md CFG 0). Random starts fill out the coverage
     distribution.
+
+    circular: reads may start at ANY genome position and wrap across the
+    origin (the CFG-2/3 organism is a circular E. coli, SURVEY.md §6) —
+    implemented by gathering from the genome extended with its own first
+    read_len-1 bases, so origin-spanning k-mers appear exactly like any
+    other k-mer and the assembled contig closes into one cycle.
     """
     genome = np.asarray(genome, dtype=np.uint8)
     g = len(genome)
     if read_len > g:
         raise ValueError(f"read_len={read_len} > genome length {g}")
     rng = np.random.default_rng(seed)
+    source = (
+        np.concatenate([genome, genome[: read_len - 1]]) if circular
+        else genome
+    )
+    # legal start positions: 0..g-1 (circular wraps) or 0..g-read_len
+    hi = g if circular else g - read_len + 1
 
     num_reads = int(np.ceil(coverage * g / read_len))
     starts: list[np.ndarray] = []
@@ -102,18 +133,18 @@ def simulate_reads(
         stride = max(1, read_len // 2)
         if tile_k is not None:
             stride = max(1, min(stride, read_len - tile_k + 1))
-        tiled = np.arange(0, g - read_len + 1, stride)
-        if tiled[-1] != g - read_len:
+        tiled = np.arange(0, hi, stride)
+        if not circular and tiled[-1] != g - read_len:
             tiled = np.append(tiled, g - read_len)
         starts.append(tiled)
         num_reads = max(num_reads - len(tiled), 0)
     if num_reads:
-        starts.append(rng.integers(0, g - read_len + 1, size=num_reads))
+        starts.append(rng.integers(0, hi, size=num_reads))
     all_starts = np.concatenate(starts)
 
     # Gather windows: [B, L]
     idx = all_starts[:, None] + np.arange(read_len)[None, :]
-    reads = genome[idx]
+    reads = source[idx]
 
     if both_strands:
         flip = rng.random(len(all_starts)) < 0.5
@@ -135,6 +166,54 @@ def simulate_reads(
         error_rate=error_rate,
         starts=all_starts[perm],
         flipped=flip[perm],
+    )
+
+
+def simulate_reads_multi(
+    genomes: list[np.ndarray],
+    *,
+    coverage: float,
+    read_len: int,
+    seed: int,
+    error_rate: float = 0.0,
+    tile_k: int | None = None,
+    circular: bool | list[bool] = False,
+) -> ReadSet:
+    """Reads drawn across several chromosomes, shuffled together.
+
+    Each chromosome is sampled independently at the same coverage (its
+    read budget scales with its length) with its own derived seed, then
+    the pooled reads are permuted — downstream stages see one unordered
+    stream, exactly as a real multi-chromosome library arrives.
+    ``circular`` may be a single flag or one per chromosome. The
+    returned ReadSet's ``genome`` is the concatenation (callers needing
+    per-chromosome ground truth keep their ``genomes`` list);
+    starts/flipped provenance is dropped (positions would be ambiguous
+    across chromosomes)."""
+    if isinstance(circular, bool):
+        circular = [circular] * len(genomes)
+    if len(circular) != len(genomes):
+        raise ValueError("circular flags must match the chromosome count")
+    parts = []
+    for i, (chrom, circ) in enumerate(zip(genomes, circular)):
+        rs = simulate_reads(
+            chrom,
+            coverage=coverage,
+            read_len=read_len,
+            seed=seed + 7919 * (i + 1),
+            error_rate=error_rate,
+            tile_k=tile_k,
+            circular=circ,
+        )
+        parts.append(rs.codes)
+    codes = np.concatenate(parts, axis=0)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(codes))
+    return ReadSet(
+        codes=codes[perm],
+        genome=np.concatenate([np.asarray(g, np.uint8) for g in genomes]),
+        seed=seed,
+        error_rate=error_rate,
     )
 
 

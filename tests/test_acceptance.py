@@ -86,3 +86,17 @@ def test_metrics_report():
         assert stage in rep["stages_s"], rep
     assert rep["derived"]["kmers_per_s"] > 0
     assert "hbm_roofline_frac" in rep["derived"]
+
+
+def test_cfg5_circular_scaled_passes():
+    r = acceptance.accept_cfg5()
+    assert r.passed, r.detail
+    assert r.detail["rotation_exact"]
+
+
+def test_cfg6_multichromosome_scaled_passes():
+    r = acceptance.accept_cfg6()
+    assert r.passed, r.detail
+    assert r.detail["chromosomes"] == 16
+    assert r.detail["per_chromosome_exact"]
+    assert r.detail["counts_match_host"]
