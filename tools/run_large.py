@@ -65,16 +65,25 @@ def main() -> int:
         file=sys.stderr, flush=True,
     )
 
-    # cold (compile) pass, then one warm timed pass
+    # cold (compile) pass, then GA_RL_REPS warm timed passes. Repeating
+    # warm passes in ONE process separates per-process costs (first-touch
+    # page faults on the host-side spell/simplify buffers, allocator
+    # growth) from steady-state stage walls — the r4 p1-vs-p2 spell and
+    # simplify variance investigation (VERDICT r5 item 8).
+    reps = max(1, int(os.environ.get("GA_RL_REPS", "1")))
     t0 = time.time()
     assemble_tpu(rs.codes, cfg, table_capacity=cap, merge_stride=stride)
     cold_s = time.time() - t0
-    m = Metrics()
-    t0 = time.time()
-    contigs = assemble_tpu(
-        rs.codes, cfg, metrics=m, table_capacity=cap, merge_stride=stride
-    )
-    warm_s = time.time() - t0
+    warm_runs = []
+    for _ in range(reps):
+        m = Metrics()
+        t0 = time.time()
+        contigs = assemble_tpu(
+            rs.codes, cfg, metrics=m, table_capacity=cap,
+            merge_stride=stride,
+        )
+        warm_runs.append((time.time() - t0, m))
+    warm_s, m = min(warm_runs, key=lambda wm: wm[0])
 
     gstr = decode_seq(genome)
     stats = contig_stats(contigs)
@@ -88,6 +97,15 @@ def main() -> int:
         "warm_s": round(warm_s, 2),
         "reads_per_s": round(rs.num_reads / warm_s, 1),
         "stages_s": {n: round(v, 2) for n, v in m.stages.items()},
+        "warm_runs": [
+            {
+                "warm_s": round(w, 2),
+                "stages_s": {
+                    n: round(v, 2) for n, v in mm.stages.items()
+                },
+            }
+            for w, mm in warm_runs
+        ],
         "contigs": stats["contigs"],
         "n50": stats["n50"],
         "exact_single_contig": contigs_equal(contigs, [gstr]),
