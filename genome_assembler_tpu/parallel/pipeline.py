@@ -471,6 +471,102 @@ def make_distributed_stream_count_bucketed(
     return step
 
 
+def make_distributed_stream_route_append_bucketed(
+    mesh: Mesh, k: int, batch_per_device: int, read_len: int,
+    bucket_cap: int, axis="d", with_mask: bool = False,
+    minimizer_len: int | None = None, *, m_seg: int, nb_buckets: int,
+):
+    """Accumulated-staging variant of the per-shard bucketed stream step
+    (the distributed mirror of models.pipeline._route_append_step /
+    GA_BUCKET_ACCUM — measured 1.54x on the single-chip count stage at
+    the 40 Mb shape, tools/r5_accum_results.json).
+
+    Per batch each shard only routes its owned keys (all-to-all) and
+    bucket-packs them into slot ``slot`` of its carried staging buffer
+    (a num_keys=1 bucket sort of just the batch rows); the [nb, cb+S]
+    table merge sorts run once per GA_BUCKET_ACCUM batches via
+    make_distributed_staged_merge_bucketed — bit-identical, since
+    merge_packed aggregates weighted rows associatively and a key's
+    shard-local bucket never changes. Staging shape per shard:
+    [nb, accum*m_seg, W]; route/bucket overflow carries in a per-shard
+    pending flag folded into the table overflow at the next merge.
+    """
+    import functools
+
+    from ..ops.bucketed import route_pack_keys_impl
+    from .mesh import axis_size
+
+    d = axis_size(mesh, axis)
+    owned = _make_owned_keys(d, k, read_len, bucket_cap, axis, minimizer_len)
+
+    def local_step(staging, pov, reads, n_valid, slot, inv_mask=None):
+        keys, route_ovf = owned(reads, n_valid, inv_mask)
+        packed, over_m = route_pack_keys_impl(keys, nb=nb_buckets, m=m_seg)
+        staging = jax.lax.dynamic_update_slice(
+            staging, packed, (jnp.int32(0), slot * m_seg, jnp.int32(0))
+        )
+        return staging, (pov[0] | route_ovf | over_m)[None]
+
+    in_specs = (
+        P(axis, None, None), P(axis),
+        P(axis, None, None), P(axis), P(),
+    )
+    if with_mask:
+        in_specs = in_specs + (P(axis, None, None),)
+    mapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(axis, None, None), P(axis)),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(staging, pov, reads, n_valid, slot, inv_mask=None):
+        if with_mask:
+            return mapped(staging, pov, reads, n_valid, slot, inv_mask)
+        return mapped(staging, pov, reads, n_valid, slot)
+
+    return step
+
+
+def make_distributed_staged_merge_bucketed(
+    mesh: Mesh, rows: int, axis="d"
+):
+    """Merge the first ``rows`` staged pre-routed columns of each
+    shard's staging buffer into its bucketed table shard (the merge half
+    of the accumulated streaming step; ``rows < accum*m_seg`` only for
+    the static tail flush). The per-shard pending-overflow flag folds
+    into the table overflow here."""
+    from ..ops.bucketed import BucketedTable, merge_packed_bucketed_impl
+
+    def local_merge(tw, tc, tn, tov, staging, pov):
+        bt = BucketedTable(
+            words=tw, counts=tc, num_unique=tn, overflow=tov[0]
+        )
+        merged = merge_packed_bucketed_impl(
+            bt, staging[:, :rows], pov[0]
+        )
+        return (
+            merged.words,
+            merged.counts,
+            merged.num_unique,
+            merged.overflow[None],
+        )
+
+    mapped = shard_map(
+        local_merge,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None, None), P(axis, None), P(axis), P(axis),
+            P(axis, None, None), P(axis),
+        ),
+        out_specs=(P(axis, None, None), P(axis, None), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1, 2, 3))
+
+
 def make_distributed_pending_merge_bucketed(
     mesh: Mesh, rows: int, axis="d", *, m_seg: int
 ):
@@ -812,6 +908,7 @@ class _StreamPlan:
             # program failed on this backend; rerun with the flat merge
             self.use_bucketed = False
         self.nbk = self.cb = self.m_seg = None
+        self.accum = 1
         if self.use_bucketed:
             from ..ops import bucketed as bucketed_mod
 
@@ -825,6 +922,15 @@ class _StreamPlan:
                     os.environ.get("GA_BUCKET_BATCH_SLACK", "1.5")
                 ),
             )
+            # Accumulated staging (GA_BUCKET_ACCUM), the distributed
+            # mirror of the single-device default: per batch only
+            # route+pack; pay the cb-row table merge every accum
+            # batches. Incompatible with merge_stride (both defer
+            # merges — stride takes precedence when set).
+            if not self.strided:
+                self.accum = max(
+                    1, int(os.environ.get("GA_BUCKET_ACCUM", "4"))
+                )
         self.ck_params = {
             "d": d,
             "k": cfg.k,
@@ -843,7 +949,12 @@ class _StreamPlan:
         }
         if self.use_bucketed:
             self.ck_params.update(
-                {"nb": self.nbk, "cb": self.cb, "m": self.m_seg}
+                {
+                    "nb": self.nbk,
+                    "cb": self.cb,
+                    "m": self.m_seg,
+                    "accum": self.accum,
+                }
             )
 
 
@@ -982,6 +1093,24 @@ def _run_distributed_stream_impl(
             NamedSharding(mesh, P(axis, None)),
         )
         slot = 0
+    elif use_bucketed and plan.accum > 1:
+        append_staged = make_distributed_stream_route_append_bucketed(
+            mesh, cfg.k, per_dev, length, bucket_cap, axis,
+            with_mask=any_invalid, minimizer_len=minimizer_len,
+            m_seg=m_seg, nb_buckets=nbk,
+        )
+        merge_staged = make_distributed_staged_merge_bucketed(
+            mesh, plan.accum * m_seg, axis
+        )
+        staging = jax.device_put(
+            np.full(
+                (d * nbk, plan.accum * m_seg, w), int(SENTINEL),
+                dtype=np.uint32,
+            ),
+            NamedSharding(mesh, P(axis, None, None)),
+        )
+        pov = jax.device_put(np.zeros(d, bool), row_sharding)
+        slot = 0
     elif use_bucketed:
         step = make_distributed_stream_count_bucketed(
             mesh, cfg.k, per_dev, length, bucket_cap, axis,
@@ -1083,6 +1212,19 @@ def _run_distributed_stream_impl(
                     words, counts, num, ovf, pend
                 )
                 slot = 0
+        elif use_bucketed and plan.accum > 1:
+            args = (staging, pov, reads_dev, nv_dev, jnp.int32(slot))
+            if any_invalid:
+                args = args + (mask_dev,)
+            staging, pov = append_staged(*args)
+            slot += 1
+            if slot == plan.accum:
+                # pov folds into the table overflow inside the merge
+                words, counts, num, ovf = merge_staged(
+                    words, counts, num, ovf, staging, pov
+                )
+                pov = jax.device_put(np.zeros(d, bool), row_sharding)
+                slot = 0
         elif any_invalid:
             words, counts, num, ovf = step(
                 words, counts, num, ovf, reads_dev, nv_dev, mask_dev
@@ -1094,7 +1236,11 @@ def _run_distributed_stream_impl(
         if metrics is not None:
             metrics.count("a2a_bytes_count", a2a_step)
         since_ckpt += 1
-        at_merge_boundary = (not strided) or slot == 0
+        at_merge_boundary = (
+            slot == 0
+            if (strided or (use_bucketed and plan.accum > 1))
+            else True
+        )
         if (
             stream_checkpoint is not None
             and stream_checkpoint_every > 0
@@ -1122,6 +1268,15 @@ def _run_distributed_stream_impl(
                 mesh, slot * recv, axis
             )
         words, counts, num, ovf = merge_tail(words, counts, num, ovf, pend)
+    elif use_bucketed and plan.accum > 1 and slot:
+        # tail flush: only the filled slots (static slice — one extra
+        # compile per distinct tail length, same as strided)
+        merge_tail = make_distributed_staged_merge_bucketed(
+            mesh, slot * m_seg, axis
+        )
+        words, counts, num, ovf = merge_tail(
+            words, counts, num, ovf, staging, pov
+        )
     if use_bucketed:
         # one monolithic sort per shard, paid once at stream end: back to
         # the exact flat compact-front layout downstream expects

@@ -152,8 +152,10 @@ def test_bucketed_kill_and_resume_sharded(
 ):
     """Mid-stream checkpoint carries the bucketed layout: kill at batch 3,
     resume, identical global table (VERDICT r3 item 4 'layout carried by
-    the sharded mid-stream checkpoint')."""
+    the sharded mid-stream checkpoint'). GA_BUCKET_ACCUM=2 keeps batch 2
+    a merge boundary (the staged-merge cadence gates snapshot saves)."""
     monkeypatch.setenv("GA_BUCKETED", "1")
+    monkeypatch.setenv("GA_BUCKET_ACCUM", "2")
     reads = _reads(genome_len=2000)
     cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
     mesh = build_mesh(d)
@@ -191,6 +193,7 @@ def test_bucketed_resume_rejects_flat_run(force_stream, tmp_path,
     mesh = build_mesh(2)
     ck = str(tmp_path / "mid_bkt.npz")
     monkeypatch.setenv("GA_BUCKETED", "1")
+    monkeypatch.setenv("GA_BUCKET_ACCUM", "2")
     monkeypatch.setenv("GA_STREAM_ABORT_AFTER_BATCH", "2")
     with pytest.raises(RuntimeError, match="fault injection"):
         pp.distributed_count_table(
@@ -215,6 +218,7 @@ def test_bucketed_auto_switch_keys_off_per_shard_merge_rows(
     cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
     mesh = build_mesh(2)
     monkeypatch.delenv("GA_BUCKETED", raising=False)
+    monkeypatch.setenv("GA_BUCKET_ACCUM", "2")
     monkeypatch.setattr(mp, "BUCKETED_MIN_MERGE_ROWS", 1)
     ck = str(tmp_path / "auto_bkt.npz")
     monkeypatch.setenv("GA_STREAM_ABORT_AFTER_BATCH", "2")
@@ -271,6 +275,12 @@ def test_bucketed_auto_fallback_distributed(force_stream, monkeypatch,
     monkeypatch.setattr(
         pp, "make_distributed_pending_merge_bucketed", _boom_factory
     )
+    monkeypatch.setattr(
+        pp, "make_distributed_stream_route_append_bucketed", _boom_factory
+    )
+    monkeypatch.setattr(
+        pp, "make_distributed_staged_merge_bucketed", _boom_factory
+    )
     got = pp.distributed_count_to_host(
         codes, cfg, mesh, table_capacity=4096
     )
@@ -294,5 +304,28 @@ def test_bucketed_explicit_distributed_failure_propagates(
     monkeypatch.setattr(
         pp, "make_distributed_pending_merge_bucketed", _boom_factory
     )
+    monkeypatch.setattr(
+        pp, "make_distributed_stream_route_append_bucketed", _boom_factory
+    )
+    monkeypatch.setattr(
+        pp, "make_distributed_staged_merge_bucketed", _boom_factory
+    )
     with pytest.raises(jax.errors.JaxRuntimeError):
         pp.distributed_count_to_host(codes, cfg, mesh, table_capacity=4096)
+
+
+@pytest.mark.parametrize("accum", [1, 2, 4])
+def test_distributed_accum_bit_identical(force_stream, monkeypatch, accum):
+    """The accumulated staged per-shard merge (GA_BUCKET_ACCUM, the
+    distributed mirror of the single-device default) is bit-identical to
+    per-batch merging at every accum, including the tail-flush batch
+    counts that don't divide accum."""
+    monkeypatch.setenv("GA_BUCKETED", "1")
+    reads = _reads(genome_len=2300)
+    cfg = AssemblyConfig(k=15, read_len=60, batch_reads=64)
+    mesh = build_mesh(2)
+    monkeypatch.setenv("GA_BUCKET_ACCUM", "1")
+    want = pp.distributed_count_to_host(reads, cfg, mesh, table_capacity=8192)
+    monkeypatch.setenv("GA_BUCKET_ACCUM", str(accum))
+    got = pp.distributed_count_to_host(reads, cfg, mesh, table_capacity=8192)
+    assert got == want

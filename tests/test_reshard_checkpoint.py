@@ -100,7 +100,10 @@ def test_reshard_from_bucketed_layout(force_stream, tmp_path, monkeypatch):
 
     ck = str(tmp_path / "mid_bkt.npz")
     monkeypatch.setenv("GA_BUCKETED", "1")
+    # accum=2: keep batch 2 a merge boundary for the every=2 snapshot
+    monkeypatch.setenv("GA_BUCKET_ACCUM", "2")
     _snapshot(reads, cfg, 8, ck, monkeypatch)
+    monkeypatch.delenv("GA_BUCKET_ACCUM")
 
     monkeypatch.setenv("GA_BUCKETED", "0")
     ck2 = str(tmp_path / "resharded_flat.npz")
