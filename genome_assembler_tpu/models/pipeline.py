@@ -455,14 +455,6 @@ def count_reads_device(
         if use_bucketed:
             from ..ops import bucketed as bucketed_mod
 
-            nb = int(os.environ.get("GA_BUCKETS", "256"))
-            cb, m_seg = bucketed_mod.bucket_geometry(
-                capacity,
-                merge_windows,
-                nb=nb,
-                cb_slack=float(os.environ.get("GA_BUCKET_SLACK", "1.25")),
-                m_slack=float(os.environ.get("GA_BUCKET_BATCH_SLACK", "1.5")),
-            )
             # Accumulated staging (extraction-side pre-packing, VERDICT
             # r4 item 1): per batch only route+pack (cheap, batch-row
             # sized); merge the staged [nb, accum*m] rows every accum
@@ -472,6 +464,22 @@ def count_reads_device(
             # stride takes precedence when explicitly set).
             if not strided:
                 accum = max(1, int(os.environ.get("GA_BUCKET_ACCUM", "4")))
+            cb_slack = float(os.environ.get("GA_BUCKET_SLACK", "1.25"))
+            m_slack = float(os.environ.get("GA_BUCKET_BATCH_SLACK", "1.5"))
+            env_nb = os.environ.get("GA_BUCKETS")
+            nb = (
+                int(env_nb) if env_nb
+                else bucketed_mod.auto_buckets(
+                    capacity, merge_windows, accum, cb_slack, m_slack
+                )
+            )
+            cb, m_seg = bucketed_mod.bucket_geometry(
+                capacity,
+                merge_windows,
+                nb=nb,
+                cb_slack=cb_slack,
+                m_slack=m_slack,
+            )
             table = bucketed_mod.empty_bucketed(nb, cb, w)
         else:
             table = count_jax.empty_table(capacity, w)

@@ -357,6 +357,37 @@ flatten_bucketed = functools.partial(
 )(flatten_bucketed_impl)
 
 
+# Target per-bucket rows per merge for the auto bucket count. The r3
+# batched-sort probe (tools/probe_batched_merge_results.json) and the r5
+# 40 Mb sweep (tools/r5_buckets_sweep.jsonl: 128/256/512/1024/2048/4096
+# buckets -> 21.4/16.8/16.5/14.5/... s at 169k rows/bucket for 1024)
+# both show batched sorts getting faster as segments shrink toward the
+# VMEM-resident regime; the shipped target sits at the sweep's measured
+# minimum. GA_BUCKETS overrides the rule outright.
+BUCKET_TARGET_SEG = 96 * 1024
+
+
+def auto_buckets(
+    capacity: int, merge_windows: int, accum: int = 1,
+    cb_slack: float = 1.25, m_slack: float = 1.5,
+) -> int:
+    """Power-of-two bucket count that lands per-merge bucket rows
+    (cb + accum*m ~= (cb_slack*capacity + m_slack*accum*merge_windows)/nb)
+    near BUCKET_TARGET_SEG, clamped to [256, 4096].
+
+    More buckets = faster batched merges (smaller segments sort at
+    below-cliff per-row rates) but a smaller per-bucket multiplicity cap
+    (a single k-mer with > m copies in one batch overflows its segment —
+    checked, never silent, GA_BUCKETS=256 the conservative fallback for
+    homopolymer-heavy data). The clamp keeps both effects bounded.
+    """
+    per_merge = cb_slack * capacity + m_slack * accum * merge_windows
+    nb = 256
+    while nb < 4096 and per_merge / nb > BUCKET_TARGET_SEG:
+        nb *= 2
+    return nb
+
+
 def bucket_geometry(
     capacity: int, merge_windows: int, *, nb: int, cb_slack: float,
     m_slack: float,

@@ -912,16 +912,6 @@ class _StreamPlan:
         if self.use_bucketed:
             from ..ops import bucketed as bucketed_mod
 
-            self.nbk = int(os.environ.get("GA_BUCKETS", "256"))
-            self.cb, self.m_seg = bucketed_mod.bucket_geometry(
-                self.c_shard,
-                self.stride * self.recv,
-                nb=self.nbk,
-                cb_slack=float(os.environ.get("GA_BUCKET_SLACK", "1.25")),
-                m_slack=float(
-                    os.environ.get("GA_BUCKET_BATCH_SLACK", "1.5")
-                ),
-            )
             # Accumulated staging (GA_BUCKET_ACCUM), the distributed
             # mirror of the single-device default: per batch only
             # route+pack; pay the cb-row table merge every accum
@@ -931,6 +921,25 @@ class _StreamPlan:
                 self.accum = max(
                     1, int(os.environ.get("GA_BUCKET_ACCUM", "4"))
                 )
+            cb_slack = float(os.environ.get("GA_BUCKET_SLACK", "1.25"))
+            m_slack = float(
+                os.environ.get("GA_BUCKET_BATCH_SLACK", "1.5")
+            )
+            env_nb = os.environ.get("GA_BUCKETS")
+            self.nbk = (
+                int(env_nb) if env_nb
+                else bucketed_mod.auto_buckets(
+                    self.c_shard, self.stride * self.recv, self.accum,
+                    cb_slack, m_slack,
+                )
+            )
+            self.cb, self.m_seg = bucketed_mod.bucket_geometry(
+                self.c_shard,
+                self.stride * self.recv,
+                nb=self.nbk,
+                cb_slack=cb_slack,
+                m_slack=m_slack,
+            )
         self.ck_params = {
             "d": d,
             "k": cfg.k,
