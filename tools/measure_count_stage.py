@@ -92,7 +92,18 @@ def main() -> int:
         "merge_rows": cap + merge_windows,
         "bucketed": bool(use_bucketed),
         "ga_bucketed_env": env_bucketed,
-        "buckets": int(os.environ.get("GA_BUCKETS", "256"))
+        # effective bucket count: env override, else the shipped auto
+        # rule (ops.bucketed.auto_buckets) on this run's geometry
+        "buckets": (
+            int(os.environ["GA_BUCKETS"])
+            if os.environ.get("GA_BUCKETS")
+            else __import__(
+                "genome_assembler_tpu.ops.bucketed", fromlist=["auto_buckets"]
+            ).auto_buckets(
+                cap, merge_windows,
+                max(1, int(os.environ.get("GA_BUCKET_ACCUM", "4"))),
+            )
+        )
         if use_bucketed else None,
         "accum": int(os.environ.get("GA_BUCKET_ACCUM", "4"))
         if use_bucketed else None,
