@@ -44,14 +44,18 @@ SINGLE_SHOT_WINDOWS = int(os.environ.get("GA_SINGLE_SHOT_WINDOWS", 1 << 27))
 # where lax.sort degrades super-linearly (~13 ns/row at 81M vs 3.96 at
 # 17M, tools/measure_stride_cfg2_results.json) while batched bucket
 # sorts stay at 1.5-2.1 ns/row (tools/probe_batched_merge_results.json).
-# The threshold is MEASURED on the real chip (2026-08-20, full count
-# stage on/off, tools/measure_count_stage_results.json): flat wins at
-# 24.6-30.9M merge rows (bucketed +9-21%), bucketed wins at 39.3M
-# (1.17x), 43.5M (1.22x), 68.7M (1.44x); the wall-ratio crossover
-# interpolates to ~33.6M rows — 2^25 sits on it.
+# The threshold is MEASURED on the real chip. r4 (per-batch merging,
+# tools/measure_count_stage_results.json): crossover ~33.6M rows (2^25).
+# r5 (accumulated staged merge + auto bucket count, the shipped
+# defaults; tools/r5_crossover_accum.jsonl): the cheaper bucketed path
+# moved the crossover LEFT — flat still wins at 24.6M rows (3.25 vs
+# 4.29 s full count stage), bucketed wins from 28.8M on (1.51x at
+# 28.8M, 1.51x at 30.9M, 1.07x at the noisy 39.3M point) — so the
+# bound sits between the 24.6M and 28.8M brackets at 25*2^20 = 26.2M.
+# CFG-3's 24.6M-row shape stays flat, measured correct.
 # GA_BUCKETED=1/0 forces it on/off; "auto" (default) applies this bound.
 BUCKETED_MIN_MERGE_ROWS = int(
-    os.environ.get("GA_BUCKETED_MIN_MERGE_ROWS", 1 << 25)
+    os.environ.get("GA_BUCKETED_MIN_MERGE_ROWS", 25 * (1 << 20))
 )
 
 
