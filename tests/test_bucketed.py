@@ -391,3 +391,22 @@ def test_bucketed_explicit_backend_error_propagates(monkeypatch):
     monkeypatch.setattr(bucketed, "merge_raw_keys_bucketed", _boom)
     with _pytest.raises(jax.errors.JaxRuntimeError):
         count_reads_device(reads, cfg, table_capacity=8192)
+
+
+def test_auto_buckets_rule():
+    """nb lands per-merge bucket rows near BUCKET_TARGET_SEG, clamped."""
+    from genome_assembler_tpu.ops.bucketed import (
+        BUCKET_TARGET_SEG,
+        auto_buckets,
+    )
+
+    # 40 Mb shape: 173M per-merge rows -> first nb with rows/nb <= target
+    nb = auto_buckets(50331648, 18350080, 4)
+    per = (1.25 * 50331648 + 1.5 * 4 * 18350080) / nb
+    assert per <= BUCKET_TARGET_SEG < per * 2
+    # tiny shapes clamp at the 256 floor
+    assert auto_buckets(8192, 4096, 4) == 256
+    # absurd shapes clamp at the 4096 ceiling
+    assert auto_buckets(1 << 31, 1 << 30, 8) == 4096
+    # accum=1 (per-batch) sees smaller merges -> fewer buckets than accum=4
+    assert auto_buckets(50331648, 18350080, 1) <= nb
