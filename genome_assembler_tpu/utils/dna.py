@@ -79,12 +79,70 @@ def canonical_str(kmer: str) -> str:
 
 
 def least_rotation(s: str) -> str:
-    """Lexicographically smallest rotation (Booth's algorithm, O(n)).
+    """Lexicographically smallest rotation.
 
     Canonical linearization point for circular contigs: a cycle and its
     reverse complement must map to one representative regardless of where
     each strand's traversal happened to break the cycle.
+
+    Two implementations, same answer: a vectorized candidate-elimination
+    tournament (rounds of "keep the starts whose next character is
+    minimal" — expected O(n) total work at ~4x candidate shrink per
+    round on DNA; periodic inputs are detected by a whole-string
+    rotation check and resolved exactly), falling back to the O(n)
+    pure-Python Booth loop for short strings and for adversarial
+    near-periodic inputs where the tournament exceeds its work budget.
+    The r5 motivator: Booth in Python costs ~6 s per strand on a 4.6 Mb
+    circular E. coli contig (CFG-5 traverse was 13.5 s of a 24.5 s
+    wall); the tournament runs the same input in ~30 ms.
     """
+    n = len(s)
+    if n > 4096:
+        out = _least_rotation_np(s)
+        if out is not None:
+            return out
+    return _least_rotation_booth(s)
+
+
+def _least_rotation_np(s: str) -> str | None:
+    """Vectorized smallest-rotation tournament; None if the work budget
+    is exceeded (caller falls back to Booth)."""
+    n = len(s)
+    a = np.frombuffer(s.encode(), dtype=np.uint8)
+    d = np.concatenate([a, a])
+    cand = np.flatnonzero(a == a.min())
+    if len(cand) == 1:
+        i = int(cand[0])
+        return s[i:] + s[:i]
+    depth = 1
+    budget = 32 * n  # total gathered elements before giving up
+    spent = len(cand)
+    while len(cand) > 1 and depth < n:
+        nxt = d[cand + depth]
+        m = nxt.min()
+        kept = cand[nxt == m]
+        spent += len(cand)
+        if spent > budget:
+            return None
+        if len(kept) == len(cand):
+            # no elimination: suspect global periodicity — if rotating
+            # by the candidate gap maps s to itself AND the candidates
+            # already agree on a window >= that period, periodicity
+            # makes their rotations globally identical, so the smallest
+            # index wins exactly (agreement on >= p consecutive chars
+            # of a period-p sequence implies agreement everywhere)
+            p = int(kept[1] - kept[0])
+            if depth >= p and np.array_equal(d[p : p + n], a):
+                cand = kept[:1]
+                break
+        cand = kept
+        depth += 1
+    i = int(cand[0])
+    return s[i:] + s[:i]
+
+
+def _least_rotation_booth(s: str) -> str:
+    """O(n) Booth's algorithm (pure Python), the normative reference."""
     doubled = s + s
     n = len(doubled)
     f = [-1] * n

@@ -2,7 +2,7 @@
 
 import numpy as np
 import pytest
-from hypothesis import given
+from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from genome_assembler_tpu.utils import dna
@@ -97,3 +97,76 @@ def test_unpack_codes_np_roundtrip(n, tail):
     out = dna.unpack_codes_np(packed, n)
     assert out.shape == (n,)
     assert np.array_equal(out, codes)
+
+
+# ---- least rotation: vectorized tournament vs Booth (r5) ----
+
+
+def test_least_rotation_matches_booth_random():
+    from genome_assembler_tpu.utils.dna import (
+        _least_rotation_booth,
+        _least_rotation_np,
+    )
+
+    rng = np.random.default_rng(5)
+    for n in (2, 3, 17, 100, 4097, 9000, 50001):
+        s = "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+        got = _least_rotation_np(s)
+        assert got is not None
+        assert got == _least_rotation_booth(s)
+
+
+def test_least_rotation_periodic_and_adversarial():
+    from genome_assembler_tpu.utils.dna import (
+        _least_rotation_booth,
+        _least_rotation_np,
+    )
+
+    cases = [
+        "A" * 10000,                      # period 1
+        "AC" * 6000,                      # period 2
+        "ACGT" * 3000,                    # period 4
+        ("ACG" * 4000) + "A",             # near-periodic, aperiodic total
+        "C" + "A" * 9999,                 # single min at the end region
+        ("A" * 4999 + "C") * 2,           # long shared prefixes, period n/2
+        "AT" * 2500 + "AA" + "AT" * 2500, # periodic with one defect
+    ]
+    for s in cases:
+        got = _least_rotation_np(s)
+        want = _least_rotation_booth(s)
+        # the tournament may decline (budget) but must never be wrong
+        assert got is None or got == want, s[:20]
+
+
+@settings(deadline=None, max_examples=150)
+@given(st.text(alphabet="ACGT", min_size=1, max_size=200))
+def test_least_rotation_hypothesis(s):
+    from genome_assembler_tpu.utils.dna import (
+        _least_rotation_booth,
+        _least_rotation_np,
+        least_rotation,
+    )
+
+    want = _least_rotation_booth(s)
+    assert least_rotation(s) == want
+    got = _least_rotation_np(s)
+    assert got is None or got == want
+    # the result is a rotation of s and minimal among all rotations
+    assert sorted(want) == sorted(s)
+    assert all(want <= s[i:] + s[:i] for i in range(len(s)))
+
+
+def test_least_rotation_large_dna_fast():
+    import time
+
+    from genome_assembler_tpu.utils.dna import least_rotation
+    from genome_assembler_tpu.utils.simulate import simulate_genome
+    from genome_assembler_tpu.utils.dna import decode_seq
+
+    s = decode_seq(simulate_genome(2_000_000, seed=77))
+    t0 = time.perf_counter()
+    out = least_rotation(s)
+    dt = time.perf_counter() - t0
+    assert len(out) == len(s)
+    # vectorized path: ~tens of ms; the Python Booth loop needs seconds
+    assert dt < 2.0, dt
