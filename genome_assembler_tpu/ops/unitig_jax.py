@@ -461,6 +461,98 @@ def _phases_bc(prev: jax.Array, anc: jax.Array, dist: jax.Array):
     return head, rank, ~changed_b & ~cycle_b
 
 
+@jax.jit
+def _rank_sampled_cyclic(prev: jax.Array):
+    """Sampled ranking for graphs WITH cycles (circular chromosomes /
+    plasmids): (head, rank, ok, prev_broken).
+
+    The plain sampled pass correctly refuses cycles (phase-B cycle
+    detection) and falls back to the exact passes — ~24 full-size
+    doubling rounds plus a min-id cycle-breaking pass, 4.5x the sampled
+    cost at CFG-5 scale (compress 5.5 s vs 1.2 s, r5 full-scale circular
+    run). This variant resolves ruler-threading cycles at sampled cost:
+
+      A. phase A as usual (rulers cut to stops) — cycle lanes converge
+         to their upstream rulers like any other lane;
+      D1. per-ruler segment minimum edge id: one (anc, id) sort + run
+          leaders + unique-index scatter into ruler slots;
+      D2. contracted pointer doubling carrying a running min: after
+          ceil(log2(E/s))+1 rounds each cycle ruler has jumped at least
+          one full lap, so its min is the cycle's GLOBAL min edge id —
+          exactly the lane _break_cycles picks;
+      D3. break: prev[cycle min] = -1 per cycle (a masked where);
+      E. re-run phases A-C on the broken, now-acyclic graph.
+
+    Bit-identical to _resolve_exact on every graph it accepts (same
+    break lane, and head/rank of an acyclic graph are unique). ok=False
+    — caller must use the exact fallback — iff a cycle contains NO
+    ruler (e.g. a self-loop or a < SAMPLE_STRIDE-edge plasmid with
+    unlucky ids): its lanes never resolve in either phase-A pass.
+    Callers must finalize against the returned prev_broken (the cycle
+    heads exist only there).
+    """
+    e = prev.shape[0]
+    s = SAMPLE_STRIDE
+    ids = jnp.arange(e, dtype=jnp.int32)
+    is_ruler = (ids % s) == 0
+    prev2 = jnp.where(is_ruler, jnp.int32(-1), prev)
+    steps_a = min(SAMPLED_MAX_ROUNDS, _steps_for(e))
+    anc, dist, changed_a = _doubling(prev2, steps_a, track="dist")
+
+    # D1: segment min. Stable 2-key sort puts each anc-run's smallest id
+    # first; run leaders scatter (unique slots) into their ruler's slot.
+    n_r = -(-e // s)
+    a_s, id_s = jax.lax.sort((anc, ids), num_keys=2)
+    leader = jnp.concatenate(
+        [jnp.ones(1, bool), a_s[1:] != a_s[:-1]]
+    )
+    slot = jnp.where(leader & ((a_s % s) == 0), a_s // s, n_r)
+    seg_min = (
+        jnp.full(n_r + 1, e, jnp.int32).at[slot].set(id_s, mode="drop")[:n_r]
+    )
+
+    # contracted ancestor pointer (phase-B prologue, pointer only)
+    r_ids = jnp.arange(n_r, dtype=jnp.int32) * s
+    pt = prev[r_ids]
+    a0 = jnp.where(pt >= 0, anc[jnp.maximum(pt, 0)], r_ids)
+
+    # D2: fixed-round pointer doubling carrying the running min
+    csteps = max(1, int(np.ceil(np.log2(max(n_r, 2)))) + 1)
+
+    def dbody(_, state):
+        canc, cmin = state[:, 0], state[:, 1]
+        is_r = (canc % s) == 0
+        g = state[jnp.where(is_r, canc // s, 0)]
+        return jnp.stack(
+            [
+                jnp.where(is_r, g[:, 0], canc),
+                jnp.where(is_r, jnp.minimum(cmin, g[:, 1]), cmin),
+            ],
+            axis=1,
+        )
+
+    dstate = jax.lax.fori_loop(
+        0, csteps, dbody, jnp.stack([a0, seg_min], axis=1)
+    )
+    fa = dstate[:, 0]
+    # a ruler is ON a cycle iff its final ancestor is a ruler that still
+    # has a predecessor (same wrap-free test as phase B's cycle_b)
+    is_cyc_r = ((fa % s) == 0) & (prev[fa] >= 0)
+
+    # D3: break each cycle at its global min edge id
+    is_r_a = (anc % s) == 0
+    slot_a = jnp.where(is_r_a, anc // s, 0)
+    lane_cyc = is_r_a & is_cyc_r[slot_a]
+    breaks = lane_cyc & (ids == dstate[:, 1][slot_a])
+    prev3 = jnp.where(breaks, jnp.int32(-1), prev)
+
+    # E: full sampled pass over the broken graph
+    prev2b = jnp.where(is_ruler, jnp.int32(-1), prev3)
+    anc2, dist2, changed_a2 = _doubling(prev2b, steps_a, track="dist")
+    head, rank, ok_bc = _phases_bc(prev3, anc2, dist2)
+    return head, rank, ~changed_a & ~changed_a2 & ok_bc, prev3
+
+
 @functools.partial(jax.jit, static_argnames=("r0", "div"))
 def _rank_sampled_contract(prev: jax.Array, r0: int | None = None,
                            div: int | None = None):
@@ -584,8 +676,10 @@ def _use_contract() -> bool:
 
 def _resolve_chains(prev: jax.Array, valid: jax.Array):
     """Chain heads/offsets by pointer doubling; large tables take the
-    sampled two-level fast path, and the cycle-breaking pass (circular
-    components only) runs adaptively on the exact path."""
+    sampled two-level fast path. Cycles (circular chromosomes) first try
+    the cycle-aware sampled pass (_rank_sampled_cyclic, same break-at-
+    min-id semantics at ~2x sampled cost); only rulerless cycles reach
+    the exact fallback's adaptive cycle-breaking."""
     if prev.shape[0] >= SAMPLED_MIN_ROWS:
         rank_fn = (
             _rank_sampled_contract if _use_contract() else _rank_sampled
@@ -593,6 +687,9 @@ def _resolve_chains(prev: jax.Array, valid: jax.Array):
         head, rank, ok = rank_fn(prev)
         if bool(ok):
             return _finalize_chains(prev, head, rank, valid)
+        head, rank, ok, prev3 = _rank_sampled_cyclic(prev)
+        if bool(ok):
+            return _finalize_chains(prev3, head, rank, valid)
     return _resolve_exact(prev, valid)
 
 
@@ -769,8 +866,15 @@ def compress_unitigs_device(table: CountTable, k: int) -> DeviceUnitigs:
         (
             edge_words, covs, valid, prev, uid, pos, num, ok,
         ) = _compress_fused_sampled(table, k, contract=_use_contract())
-        if not bool(ok):  # cycle or over-cap ruler gap: exact fallback
-            uid, pos, num = _resolve_exact(prev, valid)
+        if not bool(ok):
+            # cycles: the cycle-aware sampled pass first (break at each
+            # cycle's min edge id, ~2x sampled cost); rulerless cycles /
+            # over-cap ruler gaps reach the exact fallback
+            head, rank, ok2, prev3 = _rank_sampled_cyclic(prev)
+            if bool(ok2):
+                uid, pos, num = _finalize_chains(prev3, head, rank, valid)
+            else:
+                uid, pos, num = _resolve_exact(prev, valid)
     else:
         (
             edge_words, covs, valid, prev, uid, pos, num, has_cycle,

@@ -257,3 +257,88 @@ def test_compress_device_sampled_circular_genome():
     finally:
         unitig_jax.SAMPLED_MIN_ROWS = old
 
+
+
+# ---- cycle-aware sampled ranking (_rank_sampled_cyclic, r5) ----
+
+
+def _mixed_prev(seed, n, nchains, ncycles):
+    """Random graph of chains + pure cycles over a shuffled id space."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    prev = np.full(n, -1, np.int32)
+    parts = np.array_split(order, nchains + ncycles)
+    for i, part in enumerate(parts):
+        if len(part) > 1:
+            prev[part[1:]] = part[:-1]
+            if i >= nchains:  # close into a cycle
+                prev[part[0]] = part[-1]
+    return jnp.asarray(prev)
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(0, 3),
+    st.integers(1, 4),
+)
+def test_cyclic_sampled_matches_exact_hypothesis(seed, nchains, ncycles):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(200, 900))
+    prev = _mixed_prev(seed, n, nchains, ncycles)
+    valid = jnp.ones(n, bool)
+    head, rank, ok, prev3 = unitig_jax._rank_sampled_cyclic(prev)
+    uid_e, pos_e, num_e = _plain(prev, valid)
+    if not bool(ok):
+        return  # rulerless cycle: fallback territory, nothing to compare
+    uid_c, pos_c, num_c = unitig_jax._finalize_chains(
+        prev3, head, rank, valid
+    )
+    np.testing.assert_array_equal(np.asarray(uid_c), np.asarray(uid_e))
+    np.testing.assert_array_equal(np.asarray(pos_c), np.asarray(pos_e))
+    assert int(num_c) == int(num_e)
+
+
+def test_cyclic_sampled_single_big_cycle():
+    # one 600-lane cycle in id order: rulers every 32 lanes, must break
+    # at lane 0 (the global min) exactly like _break_cycles
+    n = 600
+    prev = jnp.asarray(np.roll(np.arange(n, dtype=np.int32), 1))
+    valid = jnp.ones(n, bool)
+    head, rank, ok, prev3 = unitig_jax._rank_sampled_cyclic(prev)
+    assert bool(ok)
+    assert int(prev3[0]) == -1  # broken at the min edge id
+    uid_c, pos_c, num_c = unitig_jax._finalize_chains(prev3, head, rank, valid)
+    uid_e, pos_e, num_e = _plain(prev, valid)
+    np.testing.assert_array_equal(np.asarray(uid_c), np.asarray(uid_e))
+    np.testing.assert_array_equal(np.asarray(pos_c), np.asarray(pos_e))
+    assert int(num_c) == int(num_e) == 1
+
+
+def test_cyclic_sampled_rulerless_cycle_falls_back():
+    # an 8-lane cycle avoiding every multiple of 32: no ruler on it
+    n = 200
+    prev = np.full(n, -1, np.int32)
+    cyc = [33, 37, 41, 45, 49, 53, 57, 61]
+    for i, e in enumerate(cyc):
+        prev[e] = cyc[i - 1]
+    _, _, ok, _ = unitig_jax._rank_sampled_cyclic(jnp.asarray(prev))
+    assert not bool(ok)
+
+
+def test_compress_device_circular_uses_cyclic_sampled(monkeypatch):
+    """A circular genome through compress_unitigs_device with the
+    sampled threshold forced: the cyclic pass must produce the exact
+    path's unitig set (and the pipeline the genome, up to rotation)."""
+    monkeypatch.setattr(unitig_jax, "SAMPLED_MIN_ROWS", 0)
+    genome = simulate_genome(1200, seed=23)
+    rs = simulate_reads(
+        genome, coverage=8, read_len=61, seed=24, tile_k=31, circular=True
+    )
+    cfg = AssemblyConfig(k=31, read_len=61)
+    table = filter_table(count_reads_device(rs.codes, cfg), 1)
+    dev = unitig_jax.compress_unitigs_device(table, 31)
+    got = _unitig_set(spell_device_unitigs(dev, 31))
+    counts = count_canonical_fast(rs.codes, 31)
+    want = _unitig_set(compress_unitigs(both_strand_edges(counts), 31))
+    assert got == want
