@@ -21,9 +21,6 @@ GA_ACCEPT_WARM=1 timeout 10800 python -m genome_assembler_tpu.cli accept 3 \
 echo "=== phase6c cfg5 retime $(date -u +%H:%M:%S) ===" >&2
 GA_ACCEPT_WARM=1 timeout 7200 python -m genome_assembler_tpu.cli accept 5 \
   > tools/r5_cfg5_full_clean.json 2>>$LOG
-echo "=== cfg3 k21 oracle pin $(date -u +%H:%M:%S) ===" >&2
-GA_PLATFORM=cpu timeout 28800 python tools/pin_cfg3_k21_oracle.py 21 \
-  >> tools/r5_cpu_queue.log 2>&1
 echo "=== cfg6 full scale $(date -u +%H:%M:%S) ===" >&2
 env GA_PLATFORM=cpu JAX_PLATFORMS=cpu \
   XLA_FLAGS=--xla_force_host_platform_device_count=8 GA_ACCEPT_SCALE=1.0 \
